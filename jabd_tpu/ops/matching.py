@@ -1,0 +1,109 @@
+"""Dense, vmap-able anchor<->ground-truth matching.
+
+The reference matches per image on CPU inside the loss forward
+(`nets/retinaface_training.py:93-162,201-214`) — the documented bottleneck
+of the codebase. Here matching is a dense [G, P] computation with a padded
+GT axis, vmapped over the batch, so it fuses into the jitted train step.
+
+Exact semantics reproduced (retinaface_training.py:93-162):
+  1. overlaps = jaccard(truths, point_form(priors))            [G, P]
+  2. best_prior_idx[g]  = argmax_p overlaps[g]                 (per GT)
+  3. best_truth_overlap[p], best_truth_idx[p] = max/argmax_g   (per prior)
+  4. forced match: best_truth_overlap[best_prior_idx] = 2 and
+     best_truth_idx[best_prior_idx[j]] = j  — the Python loop means the
+     LAST j wins when two GTs pick the same prior; replicated via a
+     max-over-gt-index reduction.
+  5. conf = labels[best_truth_idx]; conf = 0 where overlap < threshold
+  6. loc = encode(matched, priors), landm = encode_landm(...)
+
+Padding: GT rows with valid=False take part in nothing — their overlaps are
+masked to -1 so they never win a per-prior argmax, and their forced match
+is suppressed.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jabd_tpu.ops import boxes as B
+
+
+class MatchResult(NamedTuple):
+    loc_t: jnp.ndarray  # [P, 4]  encoded box targets
+    conf_t: jnp.ndarray  # [P]    label per prior (0 bg, else GT label 1/-1)
+    landm_t: jnp.ndarray  # [P, 10] encoded landmark targets
+
+
+def match_single(
+    threshold: float,
+    truths: jnp.ndarray,  # [G, 4] corner-form, padded
+    priors: jnp.ndarray,  # [P, 4] cxcywh
+    variances: Tuple[float, float],
+    labels: jnp.ndarray,  # [G] float: 1 (has landmarks) / -1 (no landmarks)
+    landms: jnp.ndarray,  # [G, 10]
+    valid: jnp.ndarray,  # [G] bool: GT row is real, not padding
+) -> MatchResult:
+    """Match one image's (padded) ground truths to all priors."""
+    num_gt = truths.shape[0]
+    num_priors = priors.shape[0]
+
+    overlaps = B.jaccard(truths, B.point_form(priors))  # [G, P]
+    # Padded GTs must never win: mask their rows to -1.
+    overlaps = jnp.where(valid[:, None], overlaps, -1.0)
+
+    # Per-GT best prior (only meaningful for valid rows).
+    best_prior_idx = jnp.argmax(overlaps, axis=1)  # [G]
+
+    # Per-prior best GT.
+    best_truth_overlap = jnp.max(overlaps, axis=0)  # [P]
+    best_truth_idx = jnp.argmax(overlaps, axis=0)  # [P]
+
+    # Forced best-prior match. The reference loop `for j:
+    # best_truth_idx[best_prior_idx[j]] = j` lets the LAST valid j win on
+    # conflicts; a max over GT index reproduces that exactly.
+    gt_ids = jnp.arange(num_gt)
+    # [G, P] one-hot of each GT's chosen prior, masked by validity.
+    chooses = (best_prior_idx[:, None] == jnp.arange(num_priors)[None, :]) & valid[
+        :, None
+    ]
+    forced_gt = jnp.max(
+        jnp.where(chooses, gt_ids[:, None], -1), axis=0
+    )  # [P]; -1 = not forced
+    is_forced = forced_gt >= 0
+    best_truth_idx = jnp.where(is_forced, forced_gt, best_truth_idx)
+    best_truth_overlap = jnp.where(is_forced, 2.0, best_truth_overlap)
+
+    matches = truths[best_truth_idx]  # [P, 4]
+    conf = labels[best_truth_idx]  # [P]
+    conf = jnp.where(best_truth_overlap < threshold, 0.0, conf)
+
+    loc = B.encode(matches, priors, variances)
+    landm = B.encode_landm(landms[best_truth_idx], priors, variances)
+    # Zero out encodings for background priors so padded/below-threshold
+    # rows cannot leak NaN/Inf from degenerate boxes (log of 0-width pads).
+    fg = (conf != 0.0)[:, None]
+    loc = jnp.where(fg, loc, 0.0)
+    landm = jnp.where(fg, landm, 0.0)
+    return MatchResult(loc_t=loc, conf_t=conf, landm_t=landm)
+
+
+def match_batch(
+    threshold: float,
+    truths: jnp.ndarray,  # [B, G, 4]
+    priors: jnp.ndarray,  # [P, 4]
+    variances: Tuple[float, float],
+    labels: jnp.ndarray,  # [B, G]
+    landms: jnp.ndarray,  # [B, G, 10]
+    valid: jnp.ndarray,  # [B, G]
+) -> MatchResult:
+    """vmapped dense matching over the batch (replaces the CPU loop at
+    nets/retinaface_training.py:201-214)."""
+    fn = jax.vmap(
+        lambda t, l, lm, v: match_single(
+            threshold, t, priors, variances, l, lm, v
+        )
+    )
+    return fn(truths, labels, landms, valid)
