@@ -328,7 +328,9 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
         backbone="resnet50_self",
         backbone_block_attention=None,
         num_levels=4,
-        in_channels=(512, 1024, 2048, 1024),
+        # resnet_pytorch.py:179-186: layer2..5 out channels with the
+        # self-mod layer4 at 256 planes (1024 ch) and layer5 at 512 (2048).
+        in_channels=(512, 1024, 1024, 2048),
         out_channels=256,
         tap_attention=None,
         fpn_attention=None,

@@ -1,0 +1,141 @@
+"""MultiBox loss with dense matching and sort-based hard-negative mining.
+
+TPU-native re-design of `nets/retinaface_training.py:165-303`
+(MultiBoxLoss) and the DIoU variant `nets/retinaface_training_DIOU.py`
+(:491-522 IouLoss, :524-612 MultiBoxLoss with match_iou): no per-image
+CPU loop, no boolean indexing — everything is dense masked arithmetic
+vmapped over the batch, fully inside jit.
+
+Semantics reproduced exactly:
+  * landmark smooth-L1 over priors with conf_t > 0 (label 1: has
+    landmarks), box smooth-L1 over conf_t != 0 (labels 1 and -1)
+    (:236-249);
+  * hard-negative mining: per-prior ranking loss
+    log_sum_exp(conf) - conf[label_t], zeroed at positives, double-argsort
+    rank, negatives = rank < min(7 * num_pos, P - 1) (:261-280);
+  * cross-entropy over positives (target 1) + mined negatives (target 0),
+    summed, normalized by total positives N = max(sum pos, 1); landmark
+    loss normalized by N1 = max(sum pos1, 1) (:293-302);
+  * total objective (train scripts): loc_weight * loss_l + loss_c +
+    loss_landm (train_mobilenetV3_ecagai.py:530).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jabd_tpu.ops import boxes as B
+from jabd_tpu.ops import matching
+
+
+class Targets(NamedTuple):
+    """Padded per-image ground truth (built by the data pipeline from the
+    reference's [N, 15] annotation rows: 4 box + 10 landmark + flag)."""
+
+    boxes: jnp.ndarray  # [B, G, 4] normalized corner form
+    labels: jnp.ndarray  # [B, G] 1.0 (landmarks) / -1.0 (no landmarks)
+    landms: jnp.ndarray  # [B, G, 10]
+    valid: jnp.ndarray  # [B, G] bool
+
+
+def smooth_l1(x: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise smooth-L1 (torch beta=1): 0.5x^2 if |x|<1 else |x|-0.5."""
+    ax = jnp.abs(x)
+    return jnp.where(ax < 1.0, 0.5 * x * x, ax - 0.5)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "overlap_threshold",
+        "neg_pos_ratio",
+        "variances",
+        "box_loss",
+    ),
+)
+def multibox_loss(
+    predictions: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    priors: jnp.ndarray,  # [P, 4] cxcywh
+    targets: Targets,
+    overlap_threshold: float = 0.35,
+    neg_pos_ratio: int = 7,
+    variances: Tuple[float, float] = (0.1, 0.2),
+    box_loss: str = "smooth_l1",  # or 'diou'
+) -> Dict[str, jnp.ndarray]:
+    """Returns dict(loss_l, loss_c, loss_landm) — the three normalized
+    terms the train scripts combine as loc_weight*l + c + landm."""
+    loc_data, conf_data, landm_data = predictions
+    bsz, num_priors = conf_data.shape[:2]
+
+    m = matching.match_batch(
+        overlap_threshold,
+        targets.boxes,
+        priors,
+        variances,
+        targets.labels,
+        targets.landms,
+        targets.valid,
+    )
+
+    pos1 = m.conf_t > 0  # landmark positives     [B, P]
+    pos = m.conf_t != 0  # box positives          [B, P]
+
+    # Landmark loss (sum-reduced smooth-L1 over pos1).
+    landm_err = smooth_l1(landm_data - m.landm_t)
+    loss_landm = jnp.sum(jnp.where(pos1[..., None], landm_err, 0.0))
+
+    # Box regression loss over pos.
+    if box_loss == "smooth_l1":
+        loc_err = smooth_l1(loc_data - m.loc_t)
+        loss_l = jnp.sum(jnp.where(pos[..., None], loc_err, 0.0))
+    elif box_loss == "diou":
+        # IouLoss (retinaface_training_DIOU.py:491-516): decode preds
+        # against priors, then sum(1 - DIoU(decoded, raw GT)) over pos.
+        decoded = B.decode(loc_data, priors[None], variances)
+        diou = B.elementwise_diou(decoded, m.box_t)
+        loss_l = jnp.sum(jnp.where(pos, 1.0 - diou, 0.0))
+    else:
+        raise ValueError(f"unknown box_loss {box_loss!r}")
+
+    # Hard-negative mining on the ranking loss
+    # log_sum_exp(conf) - conf[target] (retinaface_training.py:261).
+    conf_t_cls = jnp.where(pos, 1, 0)  # CE targets (conf_t[pos]=1, :256)
+    gathered = jnp.take_along_axis(
+        conf_data, conf_t_cls[..., None], axis=-1
+    )[..., 0]
+    loss_rank = B.log_sum_exp(conf_data)[..., 0] - gathered
+    loss_rank = jnp.where(pos, 0.0, loss_rank)  # positives excluded (:264)
+
+    # Double-argsort rank trick (:270-271), vmapped per image.
+    loss_idx = jnp.argsort(-loss_rank, axis=-1)
+    idx_rank = jnp.argsort(loss_idx, axis=-1)
+    num_pos = jnp.sum(pos, axis=-1, keepdims=True)  # [B, 1]
+    num_neg = jnp.clip(neg_pos_ratio * num_pos, None, num_priors - 1)
+    neg = idx_rank < num_neg  # [B, P]
+
+    # Cross-entropy over pos + neg (:287-293), dense masked form.
+    logp = jax.nn.log_softmax(conf_data, axis=-1)
+    ce = -jnp.take_along_axis(logp, conf_t_cls[..., None], axis=-1)[..., 0]
+    sel = pos | neg
+    loss_c = jnp.sum(jnp.where(sel, ce, 0.0))
+
+    n = jnp.maximum(jnp.sum(num_pos).astype(jnp.float32), 1.0)
+    n1 = jnp.maximum(jnp.sum(pos1).astype(jnp.float32), 1.0)
+    return {
+        "loss_l": loss_l / n,
+        "loss_c": loss_c / n,
+        "loss_landm": loss_landm / n1,
+    }
+
+
+def total_loss(
+    losses: Dict[str, jnp.ndarray], loc_weight: float = 2.0
+) -> jnp.ndarray:
+    """loss = loc_weight * r + c + landm (train_mobilenetV3_ecagai.py:530)."""
+    return (
+        loc_weight * losses["loss_l"] + losses["loss_c"] + losses["loss_landm"]
+    )

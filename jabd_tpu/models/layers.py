@@ -1,0 +1,390 @@
+"""Shared NN building blocks (Flax, NHWC).
+
+TPU-native re-designs of the reference blocks:
+  * conv_bn / conv_bn1x1 / conv_bn_no_relu — nets/layers.py:10-32
+  * SSH context module                     — nets/layers.py:37-68
+  * FPN (3/4-level, configurable upsample + NLM) — nets/layers.py:70-326,
+    nets/retinaface_eca_nonlocal.py:37-90,
+    train_mobilenetV3_ecagai.py:231-285
+  * ECA / contrast-ECA ("GAI")             — nets/mobilenetV3.py:332-378
+  * SE module                              — nets/mobilenetV3.py:18-32
+  * NLM + PSP (CSAF non-local fusion)      — nets/retinaface_eca_nonlocal.py:133-200
+  * Class/Bbox/Landmark/IOU heads          — nets/retinaface_eca_nonlocal.py:95-132,223-232
+
+Layout: NHWC throughout (TPU-preferred). Convolutions use explicit
+symmetric padding k//2 to match torch Conv2d(padding=k//2) output grids
+(XLA 'SAME' would shift positions for even inputs at stride 2).
+
+Dtype policy: parameters live in float32; `dtype` selects the compute
+dtype (bfloat16 on TPU for MXU throughput). BatchNorm statistics stay
+float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from jabd_tpu.ops import resize as R
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# Activations (torch-semantics)
+# ---------------------------------------------------------------------------
+
+
+def hswish(x):
+    """x * relu6(x + 3) / 6 — nets/mobilenetV3.py:6-9."""
+    return x * jax.nn.relu6(x + 3.0) / 6.0
+
+
+def hsigmoid(x):
+    """relu6(x + 3) / 6 — nets/mobilenetV3.py:12-15 / nn.Hardsigmoid."""
+    return jax.nn.relu6(x + 3.0) / 6.0
+
+
+def leaky_relu(slope: float) -> Callable:
+    return lambda x: jax.nn.leaky_relu(x, negative_slope=slope)
+
+
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "hswish": hswish,
+    "hsigmoid": hsigmoid,
+    "none": lambda x: x,
+}
+
+
+def eca_kernel_size(channels: int, b: int = 1, gamma: int = 2) -> int:
+    """Adaptive ECA kernel: k = |log2(C)+b|/gamma rounded up to odd.
+
+    Reference: nets/mobilenetV3.py:335-336.
+    """
+    k = int(abs((math.log(channels, 2) + b) / gamma))
+    return k if k % 2 else k + 1
+
+
+# ---------------------------------------------------------------------------
+# Conv + BN blocks
+# ---------------------------------------------------------------------------
+
+
+class ConvBN(nn.Module):
+    """Conv2d(bias=False) + BatchNorm + activation.
+
+    act: 'relu' | 'hswish' | 'none' or a float leaky-relu slope.
+    Mirrors conv_bn / conv_bn1X1 / conv_bn_no_relu (nets/layers.py:10-32).
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: Any = 0.0  # float slope => LeakyReLU(slope); str => named act
+    groups: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.kernel // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if isinstance(self.act, str):
+            return ACTIVATIONS[self.act](x)
+        if self.act and self.act > 0:
+            return jax.nn.leaky_relu(x, negative_slope=self.act)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Channel attention
+# ---------------------------------------------------------------------------
+
+
+def _spatial_mean(x):
+    return jnp.mean(x, axis=(1, 2))  # [B, C]
+
+
+def _spatial_stdv(x):
+    """Per-channel spatial standard deviation (the "GAI"/contrast
+    statistic) — nets/mobilenetV3.py:350-360. Population variance
+    (divide by H*W), sqrt without eps, exactly as the reference."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=(1, 2))
+    return jnp.sqrt(var)  # [B, C]
+
+
+class ECA(nn.Module):
+    """Efficient channel attention with a 1-D conv across channels.
+
+    statistic: 'avg' (eca_block, nets/mobilenetV3.py:332-348) or
+    'stdv' (eca_block_G / contrast ECA, :361-378).
+    gate: 'sigmoid' (nets/retinaface_eca_nonlocal.py:217) or 'hsigmoid'
+    (nets/mobilenetV3.py:346, train_mobilenetV3_ecagai.py:314).
+    """
+
+    statistic: str = "avg"
+    gate: str = "hsigmoid"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        k = eca_kernel_size(c)
+        stat = _spatial_stdv(x) if self.statistic == "stdv" else _spatial_mean(x)
+        # 1-D conv over the channel axis: [B, C] -> [B, C, 1] "NWC".
+        y = nn.Conv(
+            1,
+            (k,),
+            padding=((k // 2, k // 2),),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1d",
+        )(stat[..., None])[..., 0]
+        gate = jax.nn.sigmoid if self.gate == "sigmoid" else hsigmoid
+        return x * gate(y)[:, None, None, :]
+
+
+class SEModule(nn.Module):
+    """Squeeze-excite: GAP -> 1x1(bottleneck)+BN+ReLU -> 1x1 -> hsigmoid.
+
+    Reference: nets/mobilenetV3.py:18-32 (expand = max(C // reduction, 8),
+    both convs bias-free, BN on the squeezed map).
+    """
+
+    reduction: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        e = max(c // self.reduction, 8)
+        y = jnp.mean(x, axis=(1, 2), keepdims=True)  # [B,1,1,C]
+        y = nn.Conv(e, (1, 1), use_bias=False, dtype=self.dtype, name="fc1")(y)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name="fc2")(y)
+        return x * hsigmoid(y)
+
+
+# ---------------------------------------------------------------------------
+# Non-local module with PSP-pooled keys/values (CSAF)
+# ---------------------------------------------------------------------------
+
+
+class PSP(nn.Module):
+    """Pyramid spatial pooling to S = sum(s^2) key/value positions.
+
+    Reference: nets/retinaface_eca_nonlocal.py:133-152. Output [B, S, C].
+    """
+
+    sizes: Tuple[int, ...] = (1, 3, 6, 8)
+
+    @nn.compact
+    def __call__(self, x):
+        b, _, _, c = x.shape
+        pooled = [
+            R.adaptive_avg_pool(x, (s, s)).reshape(b, s * s, c)
+            for s in self.sizes
+        ]
+        return jnp.concatenate(pooled, axis=1)
+
+
+class NLM(nn.Module):
+    """Lightweight non-local attention with PSP-pooled KV.
+
+    q/k/v are 1x1 convs to `ch` dims; keys/values are PSP-pooled to
+    S = sum(psp^2) positions, giving attention linear in pixels.
+    The output projection W is zero-initialized so the module is the
+    identity at init (nets/retinaface_eca_nonlocal.py:168-170).
+    Reference forward: :172-200 (scale factor (1 ** -.5) == 1).
+    """
+
+    ch: int = 40
+    psp_sizes: Tuple[int, ...] = (1, 3, 6, 8)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        q = nn.Conv(self.ch, (1, 1), dtype=self.dtype, name="f_query")(x)
+        k = nn.Conv(self.ch, (1, 1), dtype=self.dtype, name="f_key")(x)
+        v = nn.Conv(self.ch, (1, 1), dtype=self.dtype, name="f_value")(x)
+        psp = PSP(self.psp_sizes, name="psp")
+        k = psp(k)  # [B, S, ch]
+        v = psp(v)  # [B, S, ch]
+        q = q.reshape(b, h * w, self.ch)
+        sim = jnp.einsum("bqc,bsc->bqs", q, k)  # scale 1**-.5 == 1
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
+        ctx = jnp.einsum("bqs,bsc->bqc", attn, v).reshape(b, h, w, self.ch)
+        out = nn.Conv(
+            c,
+            (1, 1),
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="W",
+        )(ctx)
+        return out + x
+
+
+# ---------------------------------------------------------------------------
+# SSH context module
+# ---------------------------------------------------------------------------
+
+
+class SSH(nn.Module):
+    """3-branch receptive-field module: 3x3 ⊕ 5x5(2×3x3) ⊕ 7x7(3×3x3),
+    channel split out/2 + out/4 + out/4, concat + ReLU.
+
+    Reference: nets/layers.py:37-68 (leaky=0.1 iff out_channel <= 64).
+    """
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.out_channels % 4 == 0
+        leaky = 0.1 if self.out_channels <= 64 else 0.0
+        c2, c4 = self.out_channels // 2, self.out_channels // 4
+        conv3x3 = ConvBN(c2, 3, act="none", dtype=self.dtype, name="conv3x3")(
+            x, train
+        )
+        c5_1 = ConvBN(c4, 3, act=leaky, dtype=self.dtype, name="conv5x5_1")(
+            x, train
+        )
+        conv5x5 = ConvBN(c4, 3, act="none", dtype=self.dtype, name="conv5x5_2")(
+            c5_1, train
+        )
+        c7_2 = ConvBN(c4, 3, act=leaky, dtype=self.dtype, name="conv7x7_2")(
+            c5_1, train
+        )
+        conv7x7 = ConvBN(c4, 3, act="none", dtype=self.dtype, name="conv7x7_3")(
+            c7_2, train
+        )
+        out = jnp.concatenate([conv3x3, conv5x5, conv7x7], axis=-1)
+        return jax.nn.relu(out)
+
+
+# ---------------------------------------------------------------------------
+# FPN
+# ---------------------------------------------------------------------------
+
+
+class FPN(nn.Module):
+    """Top-down feature pyramid with optional per-step NLM on the
+    upsampled map (the CSAF pathway).
+
+    3-level reference: nets/layers.py:70-119 (nearest) and the flagship
+    bicubic+NLM version train_mobilenetV3_ecagai.py:231-285. 4-level
+    variants (FPN_152/FPN_152_5, nets/layers.py:172-326) are the same
+    cascade generalized to num_levels laterals; we use the uniform
+    deepest-to-shallowest merge order (FPN_152_5's 2->1, 3->2, 4->3 order
+    telescopes to the same cascade).
+
+    upsample: 'nearest' | 'bicubic' (align_corners=True) | 'bilinear'.
+    """
+
+    out_channels: int
+    upsample: str = "nearest"
+    nlm_ch: Optional[int] = None
+    nlm_psp: Tuple[int, ...] = (1, 3, 6, 8)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False):
+        n = len(inputs)
+        leaky = 0.1 if self.out_channels <= 64 else 0.0
+        laterals = [
+            ConvBN(
+                self.out_channels,
+                1,
+                act=leaky,
+                dtype=self.dtype,
+                name=f"output{i + 1}",
+            )(x, train)
+            for i, x in enumerate(inputs)
+        ]
+        nlm = (
+            NLM(self.nlm_ch, self.nlm_psp, dtype=self.dtype, name="nlm")
+            if self.nlm_ch is not None
+            else None
+        )
+        outs = [None] * n
+        outs[n - 1] = laterals[n - 1]
+        for i in range(n - 2, -1, -1):
+            up = R.resize(
+                outs[i + 1],
+                (laterals[i].shape[1], laterals[i].shape[2]),
+                mode=self.upsample,
+                align_corners=True,
+            )
+            if nlm is not None:
+                up = nlm(up)
+            merged = laterals[i] + up
+            outs[i] = ConvBN(
+                self.out_channels,
+                3,
+                act=leaky,
+                dtype=self.dtype,
+                name=f"merge{i + 1}",
+            )(merged, train)
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# Prediction heads
+# ---------------------------------------------------------------------------
+
+
+class PredictionHead(nn.Module):
+    """1x1 conv head -> [B, H*W*A, out_dim].
+
+    NHWC makes the reference's permute(0,2,3,1).view(B,-1,d) a plain
+    reshape with identical element order.
+    Reference: ClassHead/BboxHead/LandmarkHead/IOUHead
+    (nets/retinaface_eca_nonlocal.py:95-132,223-232).
+    """
+
+    out_dim: int  # 2 class, 4 bbox, 10 landmark, 1 iou
+    num_anchors: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b = x.shape[0]
+        y = nn.Conv(
+            self.num_anchors * self.out_dim,
+            (1, 1),
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv1x1",
+        )(x)
+        return y.reshape(b, -1, self.out_dim)

@@ -35,6 +35,9 @@ class MatchResult(NamedTuple):
     loc_t: jnp.ndarray  # [P, 4]  encoded box targets
     conf_t: jnp.ndarray  # [P]    label per prior (0 bg, else GT label 1/-1)
     landm_t: jnp.ndarray  # [P, 10] encoded landmark targets
+    box_t: jnp.ndarray  # [P, 4]  raw matched corner-form GT boxes (for the
+    # DIoU loss, which keeps unencoded boxes as targets —
+    # retinaface_training_DIOU.py:231-232)
 
 
 def match_single(
@@ -87,7 +90,8 @@ def match_single(
     fg = (conf != 0.0)[:, None]
     loc = jnp.where(fg, loc, 0.0)
     landm = jnp.where(fg, landm, 0.0)
-    return MatchResult(loc_t=loc, conf_t=conf, landm_t=landm)
+    box_t = jnp.where(fg, matches, 0.0)
+    return MatchResult(loc_t=loc, conf_t=conf, landm_t=landm, box_t=box_t)
 
 
 def match_batch(
