@@ -1,0 +1,103 @@
+"""Benchmark: flagship JABD end-to-end inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Measures the fully-fused device program (normalize -> MobileNetV3-ECA
+backbone -> NLM-FPN -> SSH -> heads -> decode -> top-k -> NMS) at 640x640,
+batched, bf16 compute — the BASELINE.json north-star configuration.
+
+vs_baseline: BASELINE.json publishes no reference number ("published": {});
+the target is ">= 5x the 2080 Ti images/sec". The reference harness
+(predict.py:253-333, bs=1 forward+decode+NMS) runs RetinaFace-MobileNet
+class models at ~55 img/s on a 2080 Ti at this resolution (typical
+published numbers for retinaface-pytorch forks; no first-party figure
+exists). We therefore report vs_baseline = images_per_sec / (5 * 55.0),
+i.e. 1.0 == the 5x-over-2080Ti target.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+REFERENCE_2080TI_IMG_PER_SEC = 55.0
+TARGET_MULTIPLier = 5.0
+
+
+def main() -> None:
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jabd_tpu import configs
+    from jabd_tpu.models import build_model
+    from jabd_tpu.ops import anchors as A
+    from jabd_tpu.predict import detect_batch
+    from jabd_tpu.utils.profiling import benchmark
+
+    size = 640
+    batch = 32 if jax.default_backend() == "tpu" else 2
+    mcfg = configs.get_model_config("jabd_flagship")
+    pcfg = configs.PredictConfig(
+        confidence=0.5,
+        nms_iou=0.45,
+        input_shape=(size, size),
+        max_detections=750,
+        pre_nms_topk=2048,
+    )
+    model = build_model(mcfg, mode="eval")
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(0, 50, (batch, size, size, 3)),
+        dtype=jnp.float32,
+    )
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        jax.random.PRNGKey(0), images[:1]
+    )
+    anchors = jnp.asarray(A.generate_anchors(mcfg.anchors, (size, size)))
+
+    apply_fn = functools.partial(model.apply)
+    use_pallas = jax.default_backend() == "tpu"
+
+    def run(imgs):
+        return detect_batch(
+            apply_fn,
+            variables,
+            imgs,
+            anchors,
+            pcfg,
+            variances=mcfg.anchors.variance,
+            use_pallas=use_pallas,
+        )
+
+    stats = benchmark(run, images, iters=30, warmup=5)
+    ips = batch / stats["median_s"]
+    out = {
+        "metric": "images_per_sec_640_flagship_e2e",
+        "value": round(ips, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(
+            ips / (TARGET_MULTIPLier * REFERENCE_2080TI_IMG_PER_SEC), 3
+        ),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # never leave the driver without a JSON line
+        print(
+            json.dumps(
+                {
+                    "metric": "images_per_sec_640_flagship_e2e",
+                    "value": 0.0,
+                    "unit": "img/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": str(e)[:200],
+                }
+            )
+        )
+        sys.exit(0)

@@ -1,0 +1,56 @@
+"""Device mesh + sharding utilities — the distributed backbone.
+
+Replaces the reference's parallelism surface (SURVEY.md section 2.5):
+`nn.DataParallel` single-process scatter/gather
+(train_mobilenetV3_ecagai.py:464, predict.py:109) and Lightning DDP /
+torch.distributed NCCL all_gather (main.py:37-50, utils.py:49-92).
+
+TPU-native equivalent: one `jax.sharding.Mesh` over the chips; batches are
+sharded over the 'data' axis, parameters are replicated, and XLA's SPMD
+partitioner inserts the psum gradient reductions over ICI automatically
+when a jitted train step consumes sharded batches with replicated params.
+Multi-host (DCN) works through the same API once `jax.distributed` is
+initialized — the mesh just spans all processes' devices.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_name: str = DATA_AXIS,
+) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (parameters, optimizer state)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
+    """Device-put every array in `batch` sharded on its leading axis."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), batch
+    )
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    sh = replicate(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,250 @@
+"""Inference: the fused device program + the predict.py app surface.
+
+Reference: predict.py — `Retinaface` class (:24) with `detect_image`
+(:115), `get_FPS` (:253), `get_map_txt` (:338) and the driver modes
+predict/video/fps/dir_predict (:424-544). There, every image runs
+host-side letterbox -> GPU forward -> decode -> torchvision NMS ->
+`.cpu().numpy()` -> numpy letterbox-undo.
+
+TPU-native design: ONE jitted graph per (batch, input) shape does
+normalize -> backbone -> decode -> score-filter (static top-k) -> greedy
+NMS -> letterbox-undo scaling, returning fixed-shape [B, max_out, 15]
+detections + validity mask. The only host work is image decode and the
+final mask slice. NMS runs as the fused Pallas kernel on TPU and the XLA
+reference elsewhere.
+
+Detection row layout (reference get_map_txt parity, predict.py:338-415):
+[x1, y1, x2, y2, score, 10 landmark coords] in input-image pixels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jabd_tpu import configs
+from jabd_tpu.models import build_model
+from jabd_tpu.ops import anchors as A
+from jabd_tpu.ops import boxes as B
+from jabd_tpu.ops import image as I
+from jabd_tpu.ops import nms as N
+from jabd_tpu.ops import nms_pallas as NP
+
+
+def _use_pallas_default() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model_apply",
+        "pcfg",
+        "variances",
+        "use_pallas",
+    ),
+)
+def detect_batch(
+    model_apply,
+    variables,
+    images: jnp.ndarray,  # [B, H, W, 3] float32, mean-subtracted
+    anchors: jnp.ndarray,  # [P, 4]
+    pcfg: configs.PredictConfig,
+    variances: Tuple[float, float] = (0.1, 0.2),
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The fused graph. Returns (dets [B, max_out, 15], valid [B, max_out]).
+
+    Boxes/landmarks are in NORMALIZED [0,1] input coords — pixel scaling
+    and letterbox-undo happen in the thin host wrapper (they depend on the
+    original image size, which is per-image host data).
+    """
+    loc, cls, landm = model_apply(variables, images)
+    scores = cls[..., 1]
+    boxes = B.decode(loc, anchors[None], variances)  # [B, P, 4]
+    landms = B.decode_landm(landm, anchors[None], variances)  # [B, P, 10]
+
+    k = min(pcfg.pre_nms_topk, scores.shape[-1])
+
+    def per_image(bx, sc, lm):
+        msc = jnp.where(sc >= pcfg.confidence, sc, N.NEG_INF)
+        top_sc, idx = jax.lax.top_k(msc, k)
+        valid = top_sc > N.NEG_INF / 2
+        cand_boxes = bx[idx]
+        nms_fn = NP.nms_pallas if use_pallas else N.nms
+        keep_idx, keep_valid = nms_fn(
+            cand_boxes,
+            top_sc,
+            iou_threshold=pcfg.nms_iou,
+            max_out=pcfg.max_detections,
+            valid=valid,
+        )
+        sel = idx[keep_idx]
+        det = jnp.concatenate(
+            [bx[sel], sc[sel][:, None], lm[sel]], axis=-1
+        )
+        det = jnp.where(keep_valid[:, None], det, 0.0)
+        return det, keep_valid
+
+    return jax.vmap(per_image)(boxes, scores, landms)
+
+
+class Predictor:
+    """App-level predictor (the reference `Retinaface` class, predict.py:24).
+
+    defaults mirror predict.py:25-60: confidence 0.5, nms_iou 0.45,
+    input_shape 1280x1280, letterbox on.
+    """
+
+    def __init__(
+        self,
+        model_cfg: configs.ModelConfig,
+        variables,
+        predict_cfg: Optional[configs.PredictConfig] = None,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.mcfg = model_cfg
+        self.pcfg = predict_cfg or configs.PredictConfig()
+        self.variables = variables
+        self.model = build_model(model_cfg, mode="eval")
+        self.use_pallas = (
+            _use_pallas_default() if use_pallas is None else use_pallas
+        )
+        self._apply = functools.partial(self._apply_fn)
+
+    def _apply_fn(self, variables, images):
+        return self.model.apply(variables, images, train=False)
+
+    def _anchors_for(self, hw: Tuple[int, int]) -> jnp.ndarray:
+        return jnp.asarray(A.generate_anchors(self.mcfg.anchors, hw))
+
+    # -- core entry points --------------------------------------------------
+
+    def detect_preprocessed(self, images: np.ndarray):
+        """images: [B, H, W, 3] float32 already mean-subtracted. Returns
+        (dets [B, max_out, 15] normalized, valid [B, max_out])."""
+        hw = images.shape[1:3]
+        return detect_batch(
+            self._apply,
+            self.variables,
+            jnp.asarray(images),
+            self._anchors_for(hw),
+            self.pcfg,
+            variances=self.mcfg.anchors.variance,
+            use_pallas=self.use_pallas,
+        )
+
+    def detect_image(self, image: np.ndarray) -> np.ndarray:
+        """Single [H, W, 3] uint8/float image -> [N, 15] pixel-space dets
+        (x1 y1 x2 y2 score lmk...), like get_map_txt (predict.py:338-415)."""
+        ih, iw = image.shape[:2]
+        th, tw = self.pcfg.input_shape
+        if self.pcfg.letterbox:
+            x = I.letterbox_np(image.astype(np.float32), (tw, th))
+        else:
+            import cv2
+
+            x = cv2.resize(image.astype(np.float32), (tw, th))
+        x = I.preprocess_input_np(x)[None]
+        dets, valid = self.detect_preprocessed(x)
+        dets = np.asarray(dets[0])[np.asarray(valid[0])]
+        if len(dets) == 0:
+            return np.zeros((0, 15), np.float32)
+        if self.pcfg.letterbox:
+            (ox, oy), (sx, sy) = I.correct_boxes_scale_offset(
+                (th, tw), (ih, iw)
+            )
+            dets[:, [0, 2]] = (dets[:, [0, 2]] - ox) * sx
+            dets[:, [1, 3]] = (dets[:, [1, 3]] - oy) * sy
+            dets[:, 5::2] = (dets[:, 5::2] - ox) * sx
+            dets[:, 6::2] = (dets[:, 6::2] - oy) * sy
+        # Scale to original pixels (predict.py:194-205 semantics).
+        dets[:, [0, 2]] *= iw
+        dets[:, [1, 3]] *= ih
+        dets[:, 5::2] *= iw
+        dets[:, 6::2] *= ih
+        return dets
+
+    def detect_multiscale(
+        self, image: np.ndarray, scales=(0.5, 1.0, 1.5)
+    ) -> np.ndarray:
+        """Bicubic image-pyramid evaluation (BASELINE config #5): detect at
+        several letterbox resolutions, merge, and re-run NMS on the union."""
+        import cv2
+
+        all_dets = []
+        for s in scales:
+            ih, iw = image.shape[:2]
+            scaled = cv2.resize(
+                image.astype(np.float32),
+                (max(int(iw * s), 32), max(int(ih * s), 32)),
+                interpolation=cv2.INTER_CUBIC,
+            )
+            d = self.detect_image(scaled)
+            if len(d):
+                d[:, [0, 2]] *= iw / scaled.shape[1]
+                d[:, [1, 3]] *= ih / scaled.shape[0]
+                d[:, 5::2] *= iw / scaled.shape[1]
+                d[:, 6::2] *= ih / scaled.shape[0]
+                all_dets.append(d)
+        if not all_dets:
+            return np.zeros((0, 15), np.float32)
+        merged = np.concatenate(all_dets, 0)
+        idx, valid = N.nms(
+            jnp.asarray(merged[:, :4]),
+            jnp.asarray(merged[:, 4]),
+            iou_threshold=self.pcfg.nms_iou,
+            max_out=self.pcfg.max_detections,
+        )
+        return merged[np.asarray(idx)[np.asarray(valid)]]
+
+    def get_fps(
+        self, image: np.ndarray, test_interval: int = 100
+    ) -> float:
+        """Timed forward+decode+NMS loop (predict.py:253-333)."""
+        dets, valid = None, None
+        th, tw = self.pcfg.input_shape
+        x = I.preprocess_input_np(
+            I.letterbox_np(image.astype(np.float32), (tw, th))
+        )[None]
+        xj = jnp.asarray(x)
+        anchors = self._anchors_for((th, tw))
+        run = lambda: detect_batch(
+            self._apply,
+            self.variables,
+            xj,
+            anchors,
+            self.pcfg,
+            variances=self.mcfg.anchors.variance,
+            use_pallas=self.use_pallas,
+        )
+        d, v = run()
+        jax.block_until_ready((d, v))  # compile + warm
+        t0 = time.time()
+        for _ in range(test_interval):
+            d, v = run()
+        jax.block_until_ready((d, v))
+        return test_interval / (time.time() - t0)
+
+    def get_map_txt_rows(self, image: np.ndarray) -> np.ndarray:
+        """Rows for the WIDER evaluator: x y w h score (utils_map format)."""
+        d = self.detect_image(image)
+        if len(d) == 0:
+            return np.zeros((0, 5), np.float32)
+        out = np.stack(
+            [
+                d[:, 0],
+                d[:, 1],
+                d[:, 2] - d[:, 0],
+                d[:, 3] - d[:, 1],
+                d[:, 4],
+            ],
+            axis=1,
+        )
+        return out[np.argsort(-out[:, 4], kind="stable")]

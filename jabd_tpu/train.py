@@ -1,0 +1,258 @@
+"""Training: optimizer, schedule, jitted SPMD train step, fit loop.
+
+Reference training recipe (train_mobilenetV3_ecagai.py:436-615 and the
+shared epoch runner utils/utils_fit_change.py:11-64):
+  * two phases — "freeze" (lr 1e-3, optionally frozen backbone, epochs
+    0..freeze) and "unfreeze" (lr 1e-4), each with a FRESH
+    Adam(weight_decay=5e-4) and StepLR(gamma=0.92 per epoch);
+  * MultiBoxLoss(2, 0.35, 7), total = 2.0*loc + conf + landm (:475,:530);
+  * torch Adam's weight_decay is L2-into-gradient (not AdamW):
+    optax.add_decayed_weights BEFORE scale_by_adam reproduces it;
+  * checkpoint every save_period epochs.
+
+TPU-native: the whole step (match + loss + grad + update) is ONE jitted
+SPMD program — batches sharded over the mesh 'data' axis, params
+replicated, gradient psum inserted by the partitioner (no DataParallel
+scatter/gather, no NCCL calls).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core, struct
+
+from jabd_tpu import configs, losses
+from jabd_tpu.models import build_model
+from jabd_tpu.ops import anchors as A
+from jabd_tpu.parallel import mesh as M
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: optax.OptState
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params
+        )
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def make_optimizer(
+    lr: float,
+    steps_per_epoch: int,
+    gamma: float = 0.92,
+    weight_decay: float = 5e-4,
+    freeze_backbone: bool = False,
+) -> optax.GradientTransformation:
+    """torch Adam(weight_decay) + StepLR(step_size=1, gamma) per epoch."""
+    schedule = optax.exponential_decay(
+        init_value=lr,
+        transition_steps=max(steps_per_epoch, 1),
+        decay_rate=gamma,
+        staircase=True,
+    )
+    tx = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(schedule),
+    )
+    if freeze_backbone:
+        # requires_grad=False on the backbone (train script :576-578).
+        def label(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "frozen"
+                if any(
+                    getattr(k, "key", None) == "backbone" for k in path
+                )
+                else "train",
+                params,
+            )
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label
+        )
+    return tx
+
+
+def create_train_state(
+    rng: jax.Array,
+    model_cfg: configs.ModelConfig,
+    train_cfg: configs.TrainConfig,
+    steps_per_epoch: int,
+    lr: Optional[float] = None,
+    freeze_backbone: bool = False,
+    image_size: Optional[int] = None,
+) -> TrainState:
+    model = build_model(model_cfg, mode="train")
+    size = image_size or train_cfg.image_size
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        rng, dummy
+    )
+    tx = make_optimizer(
+        lr or train_cfg.lr_freeze,
+        steps_per_epoch,
+        gamma=train_cfg.lr_gamma,
+        weight_decay=train_cfg.weight_decay,
+        freeze_backbone=freeze_backbone,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", core.FrozenDict())
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    model_cfg: configs.ModelConfig,
+    train_cfg: configs.TrainConfig,
+):
+    """Builds the jitted SPMD train step.
+
+    step(state, images [B,H,W,3], targets Targets, anchors [P,4])
+      -> (new_state, metrics dict)
+    """
+    model = build_model(model_cfg, mode="train")
+
+    def loss_fn(params, batch_stats, images, targets, anchors):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        parts = losses.multibox_loss(
+            out,
+            anchors,
+            targets,
+            overlap_threshold=train_cfg.overlap_threshold,
+            neg_pos_ratio=train_cfg.neg_pos_ratio,
+            variances=model_cfg.anchors.variance,
+            box_loss=model_cfg.box_loss,
+        )
+        loss = losses.total_loss(parts, train_cfg.loc_weight)
+        return loss, (parts, mut["batch_stats"])
+
+    @jax.jit
+    def step(state: TrainState, images, targets, anchors):
+        (loss, (parts, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, images, targets, anchors)
+        new_state = state.apply_gradients(grads, new_bs)
+        metrics = {"loss": loss, **parts}
+        return new_state, metrics
+
+    return step
+
+
+def fit(
+    model_cfg: configs.ModelConfig,
+    train_cfg: configs.TrainConfig,
+    dataset,
+    log_dir: str = "logs",
+    mesh=None,
+    checkpoint_manager=None,
+    start_epoch: int = 0,
+    init_state: Optional[TrainState] = None,
+):
+    """Two-phase training loop (freeze -> unfreeze), mirroring
+    train_mobilenetV3_ecagai.py:553-615. Returns the final TrainState."""
+    from jabd_tpu.data.wider import train_loader
+    from jabd_tpu.utils.logging import LossHistory
+
+    mesh = mesh or M.make_mesh()
+    steps_per_epoch = max(len(dataset) // train_cfg.batch_size, 1)
+    anchors = jnp.asarray(
+        A.generate_anchors(
+            model_cfg.anchors,
+            (train_cfg.image_size, train_cfg.image_size),
+        )
+    )
+    step_fn = make_train_step(model_cfg, train_cfg)
+    history = LossHistory(log_dir)
+
+    state = init_state
+    phase_bounds = [
+        (start_epoch, train_cfg.freeze_epochs, train_cfg.lr_freeze, True),
+        (
+            max(train_cfg.freeze_epochs, start_epoch),
+            train_cfg.total_epochs,
+            train_cfg.lr_unfreeze,
+            False,
+        ),
+    ]
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    for first, last, lr, freeze in phase_bounds:
+        if first >= last:
+            continue
+        if state is None:
+            state = create_train_state(
+                rng, model_cfg, train_cfg, steps_per_epoch, lr=lr,
+                freeze_backbone=freeze,
+            )
+        else:
+            # Fresh optimizer per phase (reference :564,596).
+            tx = make_optimizer(
+                lr,
+                steps_per_epoch,
+                gamma=train_cfg.lr_gamma,
+                weight_decay=train_cfg.weight_decay,
+                freeze_backbone=freeze,
+            )
+            state = state.replace(tx=tx, opt_state=tx.init(state.params))
+        state = M.replicate_tree(state, mesh)
+
+        for epoch in range(first, last):
+            t0 = time.time()
+            epoch_loss = 0.0
+            nsteps = 0
+            for images, (boxes, labels, landms, valid) in train_loader(
+                dataset,
+                train_cfg.batch_size,
+                max_targets=train_cfg.max_targets,
+                seed=train_cfg.seed + epoch,
+            ):
+                batch = M.shard_batch(
+                    (images.astype(np.float32), boxes, labels, landms, valid),
+                    mesh,
+                )
+                images_d, boxes_d, labels_d, landms_d, valid_d = batch
+                targets = losses.Targets(
+                    boxes=boxes_d, labels=labels_d, landms=landms_d,
+                    valid=valid_d,
+                )
+                state, metrics = step_fn(state, images_d, targets, anchors)
+                epoch_loss += float(metrics["loss"])
+                nsteps += 1
+            mean_loss = epoch_loss / max(nsteps, 1)
+            history.append_loss(mean_loss)
+            print(
+                f"epoch {epoch + 1}/{last} loss={mean_loss:.4f} "
+                f"({time.time() - t0:.1f}s, {nsteps} steps)"
+            )
+            if checkpoint_manager is not None and (
+                (epoch + 1) % train_cfg.save_period == 0
+            ):
+                checkpoint_manager.save(epoch + 1, state)
+    return state

@@ -7,7 +7,9 @@ sharding/collective tests exercise real multi-device paths
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set (not setdefault): the environment pre-sets JAX_PLATFORMS=axon
+# (the TPU tunnel), which would silently run the suite on the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,146 @@
+"""Train step tests: loss decreases on a fixed batch, backbone freezing,
+SPMD execution over the 8-device CPU mesh, checkpoint round-trip."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jabd_tpu import configs, losses, train
+from jabd_tpu.ops import anchors as A
+from jabd_tpu.parallel import mesh as M
+from tests.conftest import random_boxes
+
+SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return dataclasses.replace(
+        configs.get_model_config("mnet_v3_plain"), compute_dtype="float32"
+    )
+
+
+@pytest.fixture(scope="module")
+def tcfg():
+    return configs.TrainConfig(
+        batch_size=8, image_size=SIZE, max_targets=4
+    )
+
+
+def _batch(rng, bsz=8, g=2):
+    images = rng.normal(0, 50, (bsz, SIZE, SIZE, 3)).astype(np.float32)
+    boxes = np.stack([random_boxes(rng, g) for _ in range(bsz)])
+    labels = np.ones((bsz, g), np.float32)
+    landms = rng.uniform(0, 1, (bsz, g, 10)).astype(np.float32)
+    valid = np.ones((bsz, g), bool)
+    return images, losses.Targets(
+        boxes=jnp.asarray(boxes),
+        labels=jnp.asarray(labels),
+        landms=jnp.asarray(landms),
+        valid=jnp.asarray(valid),
+    )
+
+
+def test_train_step_reduces_loss(rng, tiny_cfg, tcfg):
+    state = train.create_train_state(
+        jax.random.PRNGKey(0), tiny_cfg, tcfg, steps_per_epoch=10,
+        image_size=SIZE,
+    )
+    step = train.make_train_step(tiny_cfg, tcfg)
+    anchors = jnp.asarray(
+        A.generate_anchors(tiny_cfg.anchors, (SIZE, SIZE))
+    )
+    images, targets = _batch(rng)
+    images = jnp.asarray(images)
+    state, m0 = step(state, images, targets, anchors)
+    losses_seq = [float(m0["loss"])]
+    for _ in range(5):
+        state, m = step(state, images, targets, anchors)
+        losses_seq.append(float(m["loss"]))
+    assert np.isfinite(losses_seq).all()
+    assert losses_seq[-1] < losses_seq[0]
+
+
+def test_freeze_backbone_keeps_backbone_params(rng, tiny_cfg, tcfg):
+    state = train.create_train_state(
+        jax.random.PRNGKey(0), tiny_cfg, tcfg, steps_per_epoch=10,
+        freeze_backbone=True, image_size=SIZE,
+    )
+    step = train.make_train_step(tiny_cfg, tcfg)
+    anchors = jnp.asarray(
+        A.generate_anchors(tiny_cfg.anchors, (SIZE, SIZE))
+    )
+    images, targets = _batch(rng)
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    state2, _ = step(state, jnp.asarray(images), targets, anchors)
+    after = jax.tree_util.tree_map(np.asarray, state2.params)
+
+    def eq(a, b):
+        return np.array_equal(a, b)
+
+    # backbone unchanged
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(before["backbone"])[0],
+        jax.tree_util.tree_flatten_with_path(after["backbone"])[0],
+    ):
+        assert eq(a, b), f"backbone param {pa} changed under freeze"
+    # at least one head param changed
+    changed = False
+    for key in before:
+        if key == "backbone":
+            continue
+        fa = jax.tree_util.tree_leaves(before[key])
+        fb = jax.tree_util.tree_leaves(after[key])
+        if any(not eq(x, y) for x, y in zip(fa, fb)):
+            changed = True
+    assert changed
+
+
+def test_spmd_step_over_8_device_mesh(rng, tiny_cfg, tcfg):
+    assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
+    mesh = M.make_mesh()
+    state = train.create_train_state(
+        jax.random.PRNGKey(0), tiny_cfg, tcfg, steps_per_epoch=10,
+        image_size=SIZE,
+    )
+    state = M.replicate_tree(state, mesh)
+    step = train.make_train_step(tiny_cfg, tcfg)
+    anchors = jnp.asarray(
+        A.generate_anchors(tiny_cfg.anchors, (SIZE, SIZE))
+    )
+    images, targets = _batch(rng, bsz=8)
+    images_d = M.shard_batch(jnp.asarray(images), mesh)
+    targets_d = losses.Targets(*M.shard_batch(tuple(targets), mesh))
+    state2, metrics = step(state, images_d, targets_d, anchors)
+    assert np.isfinite(float(metrics["loss"]))
+    # Batch really is sharded across devices.
+    assert len(images_d.sharding.device_set) == 8
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_cfg, tcfg, rng):
+    from jabd_tpu.utils.checkpoint import CheckpointManager, partial_load
+
+    state = train.create_train_state(
+        jax.random.PRNGKey(0), tiny_cfg, tcfg, steps_per_epoch=10,
+        image_size=SIZE,
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+    template = train.create_train_state(
+        jax.random.PRNGKey(1), tiny_cfg, tcfg, steps_per_epoch=10,
+        image_size=SIZE,
+    )
+    restored = mgr.restore(template)
+    assert restored is not None
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # partial_load: same tree -> all leaves loaded.
+    merged, n = partial_load(template.params, state.params)
+    assert n == len(jax.tree_util.tree_leaves(template.params))
