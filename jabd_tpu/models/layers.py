@@ -240,9 +240,14 @@ class NLM(nn.Module):
         k = psp(k)  # [B, S, ch]
         v = psp(v)  # [B, S, ch]
         q = q.reshape(b, h * w, self.ch)
-        sim = jnp.einsum("bqc,bsc->bqs", q, k)  # scale 1**-.5 == 1
+        # Tiny matmuls (S = sum(psp^2) ~ 110): run them at full precision —
+        # negligible cost, keeps parity with the fp32 reference.
+        hi = jax.lax.Precision.HIGHEST
+        sim = jnp.einsum("bqc,bsc->bqs", q, k, precision=hi)  # scale 1**-.5 == 1
         attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
-        ctx = jnp.einsum("bqs,bsc->bqc", attn, v).reshape(b, h, w, self.ch)
+        ctx = jnp.einsum("bqs,bsc->bqc", attn, v, precision=hi).reshape(
+            b, h, w, self.ch
+        )
         out = nn.Conv(
             c,
             (1, 1),

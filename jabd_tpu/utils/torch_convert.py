@@ -1,0 +1,186 @@
+"""PyTorch checkpoint -> JAX parameter conversion.
+
+Lets reference users bring their `.pth` state dicts (saved by
+train_mobilenetV3_ecagai.py:545-549 style scripts) into the TPU framework
+(SURVEY.md section 7 build step 4: state-dict name mapping, BN-fold-free).
+
+The mapping below covers the flagship JABD assembly (inline RetinaFace of
+train_mobilenetV3_ecagai.py:319-435, also nets/retinaface_r.py): an
+IntermediateLayerGetter'd MobileNetV3 (`body.*`), external ECA taps, the
+NLM FPN, eca_fpn, SSH heads and the three prediction head stacks.
+
+Tensor layout transforms:
+  conv2d  torch [O, I/g, kh, kw] -> flax [kh, kw, I/g, O]
+  conv1d  torch [1, 1, k]        -> flax [k, 1, 1]
+  batchnorm weight/bias -> scale/bias; running_mean/var -> batch_stats.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from jabd_tpu.configs import ModelConfig
+from jabd_tpu.models.mobilenet import MNV3_LARGE_3STAGE, MNV3_LARGE_4STAGE
+
+
+def conv2d_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def conv1d_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 1, 0))
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def _convbn(
+    params: Dict,
+    stats: Dict,
+    sd: Dict[str, np.ndarray],
+    torch_conv: str,
+    torch_bn: str,
+    flax_path: Tuple[str, ...],
+) -> None:
+    """Map a torch conv+bn pair into a jabd ConvBN module."""
+    _set(params, flax_path + ("conv", "kernel"), conv2d_w(sd[torch_conv + ".weight"]))
+    _set(params, flax_path + ("bn", "scale"), sd[torch_bn + ".weight"])
+    _set(params, flax_path + ("bn", "bias"), sd[torch_bn + ".bias"])
+    _set(stats, flax_path + ("bn", "mean"), sd[torch_bn + ".running_mean"])
+    _set(stats, flax_path + ("bn", "var"), sd[torch_bn + ".running_var"])
+
+
+def _eca(params, sd, torch_prefix, flax_path):
+    _set(
+        params,
+        flax_path + ("conv1d", "kernel"),
+        conv1d_w(sd[torch_prefix + ".conv.weight"]),
+    )
+
+
+def _conv_with_bias(params, sd, torch_prefix, flax_path):
+    _set(params, flax_path + ("kernel",), conv2d_w(sd[torch_prefix + ".weight"]))
+    _set(params, flax_path + ("bias",), sd[torch_prefix + ".bias"])
+
+
+def convert_flagship_state_dict(
+    sd: Dict[str, np.ndarray], cfg: ModelConfig
+) -> Tuple[Dict, Dict]:
+    """Convert a flagship-style torch state dict to (params, batch_stats).
+
+    Expected torch names (train_mobilenetV3_ecagai.py:319-435 /
+    nets/retinaface_r.py): body.conv1/bn1, body.layer{s}.{b}.*,
+    eca_40/80/160, fpn.output*/merge*/nlm.*, eca_fpn, ssh{1..3}.*,
+    ClassHead/BboxHead/LandmarkHead.{i}.conv1x1.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    # --- backbone stem ---
+    _convbn(params, stats, sd, "body.conv1", "body.bn1", ("backbone", "stem"))
+
+    # --- MobileNetV3 blocks ---
+    stages = MNV3_LARGE_4STAGE if cfg.num_levels == 4 else MNV3_LARGE_3STAGE
+    for si, stage in enumerate(stages):
+        for bi, (k, cin, exp, cout, act, se, stride) in enumerate(stage):
+            t = f"body.layer{si + 1}.{bi}"
+            f = ("backbone", f"layer{si + 1}_block{bi}")
+            _convbn(params, stats, sd, f"{t}.conv1", f"{t}.bn1", f + ("conv1",))
+            _convbn(params, stats, sd, f"{t}.conv2", f"{t}.bn2", f + ("conv2",))
+            _convbn(params, stats, sd, f"{t}.conv3", f"{t}.bn3", f + ("conv3",))
+            if cfg.backbone_block_attention:
+                _eca(params, sd, f"{t}.eca", f + ("eca",))
+            elif se:
+                # Plain Block applies SE: se.se = [pool, conv, bn, relu,
+                # conv, hsig] (nets/mobilenetV3.py:22-29).
+                _set(params, f + ("se", "fc1", "kernel"),
+                     conv2d_w(sd[f"{t}.se.se.1.weight"]))
+                _set(params, f + ("se", "bn", "scale"), sd[f"{t}.se.se.2.weight"])
+                _set(params, f + ("se", "bn", "bias"), sd[f"{t}.se.se.2.bias"])
+                _set(stats, f + ("se", "bn", "mean"),
+                     sd[f"{t}.se.se.2.running_mean"])
+                _set(stats, f + ("se", "bn", "var"),
+                     sd[f"{t}.se.se.2.running_var"])
+                _set(params, f + ("se", "fc2", "kernel"),
+                     conv2d_w(sd[f"{t}.se.se.4.weight"]))
+            # skip path (nets/mobilenetV3.py:117-138)
+            if stride == 1 and cin != cout:
+                _convbn(params, stats, sd, f"{t}.skip.0", f"{t}.skip.1",
+                        f + ("skip_conv",))
+            elif stride == 2 and cin != cout:
+                _convbn(params, stats, sd, f"{t}.skip.0", f"{t}.skip.1",
+                        f + ("skip_dw",))
+                _conv_with_bias(params, sd, f"{t}.skip.2", f + ("skip_pw",))
+                _set(params, f + ("skip_pw_bn", "scale"), sd[f"{t}.skip.3.weight"])
+                _set(params, f + ("skip_pw_bn", "bias"), sd[f"{t}.skip.3.bias"])
+                _set(stats, f + ("skip_pw_bn", "mean"),
+                     sd[f"{t}.skip.3.running_mean"])
+                _set(stats, f + ("skip_pw_bn", "var"),
+                     sd[f"{t}.skip.3.running_var"])
+            elif stride == 2 and cin == cout:
+                _convbn(params, stats, sd, f"{t}.skip.0", f"{t}.skip.1",
+                        f + ("skip_dw",))
+
+    # --- external tap ECAs (eca_40/80/160; channel-named in the ref) ---
+    if cfg.tap_attention:
+        for i, ch in enumerate(cfg.in_channels[: cfg.num_levels]):
+            _eca(params, sd, f"eca_{ch}", (f"eca_tap{i + 1}",))
+
+    # --- FPN ---
+    for i in range(cfg.num_levels):
+        _convbn(params, stats, sd, f"fpn.output{i + 1}.0",
+                f"fpn.output{i + 1}.1", ("fpn", f"output{i + 1}"))
+    for i in range(cfg.num_levels - 1):
+        _convbn(params, stats, sd, f"fpn.merge{i + 1}.0",
+                f"fpn.merge{i + 1}.1", ("fpn", f"merge{i + 1}"))
+    if cfg.nlm is not None:
+        for name in ("f_query", "f_key", "f_value", "W"):
+            _conv_with_bias(params, sd, f"fpn.nlm.{name}",
+                            ("fpn", "nlm", name))
+    if cfg.fpn_attention:
+        _eca(params, sd, "eca_fpn", ("eca_fpn",))
+
+    # --- SSH ---
+    ssh_pairs = [
+        ("conv3X3", "conv3x3"),
+        ("conv5X5_1", "conv5x5_1"),
+        ("conv5X5_2", "conv5x5_2"),
+        ("conv7X7_2", "conv7x7_2"),
+        ("conv7x7_3", "conv7x7_3"),  # ref lowercase x here (layers.py:54)
+    ]
+    for i in range(cfg.num_levels):
+        for tname, fname in ssh_pairs:
+            _convbn(params, stats, sd, f"ssh{i + 1}.{tname}.0",
+                    f"ssh{i + 1}.{tname}.1", (f"ssh{i + 1}", fname))
+
+    # --- heads ---
+    for i in range(cfg.num_levels):
+        _conv_with_bias(params, sd, f"ClassHead.{i}.conv1x1",
+                        (f"class_head{i + 1}", "conv1x1"))
+        _conv_with_bias(params, sd, f"BboxHead.{i}.conv1x1",
+                        (f"bbox_head{i + 1}", "conv1x1"))
+        _conv_with_bias(params, sd, f"LandmarkHead.{i}.conv1x1",
+                        (f"landmark_head{i + 1}", "conv1x1"))
+
+    return params, stats
+
+
+def load_pth(path: str):
+    """Load a torch .pth state dict as numpy (CPU, no grad)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    out = {}
+    for k, v in sd.items():
+        k = k[7:] if k.startswith("module.") else k  # DataParallel prefix
+        out[k] = v.detach().numpy()
+    return out

@@ -7,14 +7,19 @@ sharding/collective tests exercise real multi-device paths
 
 import os
 
-# Force-set (not setdefault): the environment pre-sets JAX_PLATFORMS=axon
-# (the TPU tunnel), which would silently run the suite on the real chip.
+# Force CPU: the environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel),
+# which would silently run the suite on the real chip — and the axon plugin
+# overrides the env var, so jax.config.update is required as well.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
