@@ -22,7 +22,7 @@ import json
 import sys
 
 REFERENCE_2080TI_IMG_PER_SEC = 55.0
-TARGET_MULTIPLier = 5.0
+TARGET_MULTIPLIER = 5.0
 
 
 def main() -> None:
@@ -36,7 +36,7 @@ def main() -> None:
     from jabd_tpu.models import build_model
     from jabd_tpu.ops import anchors as A
     from jabd_tpu.predict import detect_batch
-    from jabd_tpu.utils.profiling import benchmark
+    from jabd_tpu.utils.profiling import chained_benchmark
 
     size = 640
     batch = 32 if jax.default_backend() == "tpu" else 2
@@ -62,7 +62,8 @@ def main() -> None:
     use_pallas = jax.default_backend() == "tpu"
 
     def run(imgs):
-        return detect_batch(
+        # __wrapped__: the chained harness jits the whole loop itself.
+        return detect_batch.__wrapped__(
             apply_fn,
             variables,
             imgs,
@@ -72,14 +73,14 @@ def main() -> None:
             use_pallas=use_pallas,
         )
 
-    stats = benchmark(run, images, iters=30, warmup=5)
-    ips = batch / stats["median_s"]
+    stats = chained_benchmark(run, images, iters=20)
+    ips = batch / stats["per_iter_s"]
     out = {
         "metric": "images_per_sec_640_flagship_e2e",
         "value": round(ips, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(
-            ips / (TARGET_MULTIPLier * REFERENCE_2080TI_IMG_PER_SEC), 3
+            ips / (TARGET_MULTIPLIER * REFERENCE_2080TI_IMG_PER_SEC), 3
         ),
     }
     print(json.dumps(out))

@@ -39,11 +39,14 @@ def _nms_kernel(cols_ref, keep_ref, *, k: int, iou_threshold: float,
     x2 = cols_ref[2:3, :]
     y2 = cols_ref[3:4, :]
     areas = cols_ref[4:5, :]
-    valid = cols_ref[5:6, :] > 0.5
+    valid_f = cols_ref[5:6, :]  # 1.0 / 0.0
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
-    def body(i, keep):
+    # The keep mask is carried as float32 (0/1): Mosaic mis-lays-out 1-bit
+    # vector loop carries (vpad mask_cast crash), floats are safe and the
+    # arithmetic is equivalent.
+    def body(i, keep_f):
         sel = lane == i
         self = jnp.where(sel, 1.0, 0.0)
         # Broadcast-extract box i's scalars (VPU reduction over lanes).
@@ -52,7 +55,7 @@ def _nms_kernel(cols_ref, keep_ref, *, k: int, iou_threshold: float,
         xi2 = jnp.sum(self * x2)
         yi2 = jnp.sum(self * y2)
         area_i = (xi2 - xi1) * (yi2 - yi1)
-        keep_i = jnp.sum(jnp.where(sel & keep, 1.0, 0.0)) > 0.5
+        keep_i = jnp.sum(self * keep_f)  # 1.0 if box i still kept
 
         xx1 = jnp.maximum(x1, xi1)
         yy1 = jnp.maximum(y1, yi1)
@@ -75,13 +78,15 @@ def _nms_kernel(cols_ref, keep_ref, *, k: int, iou_threshold: float,
             u = d / jnp.where(c > 0, c, 1.0)
             metric = metric - u**beta1
 
-        sup = (metric > iou_threshold) & (lane > i) & keep_i
-        return keep & ~sup
+        sup = (
+            (metric > iou_threshold)
+            & (lane > i)
+            & (keep_i > 0.5)
+        )
+        return jnp.where(sup, 0.0, keep_f)
 
-    keep = jax.lax.fori_loop(0, k, body, valid)
-    keep_ref[:, :] = jnp.broadcast_to(
-        jnp.where(keep, 1.0, 0.0), (8, k)
-    ).astype(jnp.float32)
+    keep_f = jax.lax.fori_loop(0, k, body, valid_f)
+    keep_ref[:, :] = jnp.broadcast_to(keep_f, (8, k)).astype(jnp.float32)
 
 
 @functools.partial(

@@ -58,6 +58,48 @@ def benchmark(
     }
 
 
+def chained_benchmark(
+    step_fn: Callable,
+    images: "jnp.ndarray",
+    iters: int = 20,
+    warmup: bool = True,
+) -> Dict[str, float]:
+    """Throughput measurement that is honest under asynchronous dispatch.
+
+    Some backends (e.g. the remote-tunneled TPU used here) complete
+    `block_until_ready` before the work has actually executed, so the
+    classic dispatch-loop benchmark reports fantasy numbers, while a
+    fetch-per-iteration loop pays a full host round-trip (~30 ms) per
+    step. Instead we chain `iters` executions inside ONE jitted
+    lax.fori_loop with a value dependency between steps, fetch a scalar
+    once, and divide. The result is pure device time + a single RTT.
+
+    step_fn(images) must return a pytree of arrays whose first element
+    depends on the full computation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(imgs, n):
+        def body(_, carry):
+            imgs_c, acc = carry
+            out = step_fn(imgs_c)
+            leaves = jax.tree_util.tree_leaves(out)
+            acc = acc + sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+            imgs_c = imgs_c + (acc * 0).astype(imgs_c.dtype)
+            return imgs_c, acc
+
+        return jax.lax.fori_loop(0, n, body, (imgs, jnp.float32(0)))[1]
+
+    if warmup:
+        np.asarray(chained(images, 1))  # compile + run once
+    t0 = time.perf_counter()
+    np.asarray(chained(images, iters))
+    dt = time.perf_counter() - t0
+    return {"total_s": dt, "per_iter_s": dt / iters}
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/jax-trace"):
     """jax.profiler trace context (view with TensorBoard/XProf)."""
