@@ -93,7 +93,12 @@ def nms_keep_sorted(
         sup = (metric > iou_threshold) & (later > i) & keep[i]
         return keep & ~sup
 
-    keep = jax.lax.fori_loop(0, k, body, valid)
+    # Scores are sorted descending, so valid rows form a prefix: iterating
+    # past the last valid row is a no-op. Bounding the loop by the valid
+    # count turns the K-step pass into an actual-candidate-count pass
+    # (typically tens after the confidence filter, vs K=thousands).
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    keep = jax.lax.fori_loop(0, n_valid, body, valid)
     return keep
 
 

@@ -67,32 +67,51 @@ def detect_batch(
     """
     loc, cls, landm = model_apply(variables, images)
     scores = cls[..., 1]
-    boxes = B.decode(loc, anchors[None], variances)  # [B, P, 4]
-    landms = B.decode_landm(landm, anchors[None], variances)  # [B, P, 10]
 
     k = min(pcfg.pre_nms_topk, scores.shape[-1])
+    max_out = pcfg.max_detections
 
-    def per_image(bx, sc, lm):
+    # Stage 1 (vmapped): select candidates FIRST, decode only the k
+    # winners — decoding all P anchors' boxes+landmarks (14 coords each)
+    # dominated the postprocess at large batch. top_k returns candidates
+    # sorted by descending score, so greedy NMS consumes them directly.
+    def select(lo, sc, lm):
         msc = jnp.where(sc >= pcfg.confidence, sc, N.NEG_INF)
         top_sc, idx = jax.lax.top_k(msc, k)
         valid = top_sc > N.NEG_INF / 2
-        cand_boxes = bx[idx]
-        nms_fn = NP.nms_pallas if use_pallas else N.nms
-        keep_idx, keep_valid = nms_fn(
-            cand_boxes,
-            top_sc,
-            iou_threshold=pcfg.nms_iou,
-            max_out=pcfg.max_detections,
-            valid=valid,
-        )
-        sel = idx[keep_idx]
-        det = jnp.concatenate(
-            [bx[sel], sc[sel][:, None], lm[sel]], axis=-1
-        )
-        det = jnp.where(keep_valid[:, None], det, 0.0)
-        return det, keep_valid
+        cand_anchors = anchors[idx]
+        cand_boxes = B.decode(lo[idx], cand_anchors, variances)
+        cand_landms = B.decode_landm(lm[idx], cand_anchors, variances)
+        return cand_boxes, top_sc, valid, cand_landms
 
-    return jax.vmap(per_image)(boxes, scores, landms)
+    cand_boxes, top_sc, valid, cand_landms = jax.vmap(select)(
+        loc, scores, landm
+    )
+
+    # Stage 2: greedy NMS over the whole batch in ONE kernel launch
+    # (vmapping the kernel pays per-image dispatch overhead).
+    if use_pallas:
+        keep = NP.nms_keep_sorted_pallas_batched(
+            cand_boxes, valid, pcfg.nms_iou
+        )
+    else:
+        keep = jax.vmap(
+            lambda b, v: N.nms_keep_sorted(b, v, pcfg.nms_iou)
+        )(cand_boxes, valid)
+
+    # Stage 3 (vmapped): compact kept rows (already score-ordered).
+    def compact(kp, cb, sc, cl):
+        pos = jnp.cumsum(kp) - 1
+        in_range = kp & (pos < max_out)
+        rows = jnp.concatenate([cb, sc[:, None], cl], axis=-1)  # [k, 15]
+        det = jnp.zeros((max_out, 15), rows.dtype)
+        det = det.at[jnp.where(in_range, pos, max_out)].set(
+            rows, mode="drop"
+        )
+        out_valid = jnp.arange(max_out) < jnp.sum(in_range)
+        return det, out_valid
+
+    return jax.vmap(compact)(keep, cand_boxes, top_sc, cand_landms)
 
 
 class Predictor:
