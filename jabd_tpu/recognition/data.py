@@ -1,0 +1,146 @@
+"""Recognition data utilities: augmentation + dataset readers.
+
+Reference: data.py (`CustomImageFolderDataset.augment` :217-260,
+`low_res_augmentation` :322-333, `FiveValidationDataset` :263),
+evaluate_utils.py:11-57 (bcolz/memmap validation-set loaders) and
+convert.py (mxnet .rec / .bin conversion).
+
+TPU-era replacements: the mxnet/bcolz C readers become plain numpy
+memmaps; insightface-style `.bin` verification sets load with
+pickle + cv2 (no mxnet needed).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def low_res_augmentation(img: np.ndarray, rng: np.random.Generator):
+    """Down-up-sample with random interpolation pairs (data.py:322-333)."""
+    import cv2
+
+    interps = [
+        cv2.INTER_NEAREST,
+        cv2.INTER_LINEAR,
+        cv2.INTER_AREA,
+        cv2.INTER_CUBIC,
+        cv2.INTER_LANCZOS4,
+    ]
+    side_ratio = rng.uniform(0.2, 1.0)
+    small_side = int(side_ratio * img.shape[0])
+    small = cv2.resize(
+        img,
+        (small_side, small_side),
+        interpolation=interps[rng.integers(len(interps))],
+    )
+    aug = cv2.resize(
+        small,
+        (img.shape[1], img.shape[0]),
+        interpolation=interps[rng.integers(len(interps))],
+    )
+    return aug, side_ratio
+
+
+def augment_face(
+    img: np.ndarray,
+    rng: np.random.Generator,
+    crop_prob: float = 0.2,
+    low_res_prob: float = 0.2,
+    photometric_prob: float = 0.2,
+) -> Tuple[np.ndarray, float]:
+    """AdaFace training augmentation (data.py:217-260): zero-padded random
+    resized crop, low-res resampling, photometric jitter. Returns
+    (augmented uint8 image, information score = crop_ratio*resize_ratio,
+    the quality proxy AdaFace uses)."""
+    h, w = img.shape[:2]
+    crop_ratio = 1.0
+    if rng.random() < crop_prob:
+        # RandomResizedCrop params: scale (0.2, 1.0), ratio (3/4, 4/3).
+        area = h * w
+        for _ in range(10):
+            target_area = area * rng.uniform(0.2, 1.0)
+            aspect = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+            cw = int(round(np.sqrt(target_area * aspect)))
+            ch = int(round(np.sqrt(target_area / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                i = rng.integers(0, h - ch + 1)
+                j = rng.integers(0, w - cw + 1)
+                new = np.zeros_like(img)
+                new[i : i + ch, j : j + cw] = img[i : i + ch, j : j + cw]
+                img = new
+                crop_ratio = min(ch, cw) / max(h, w)
+                break
+    resize_ratio = 1.0
+    if rng.random() < low_res_prob:
+        img, resize_ratio = low_res_augmentation(img, rng)
+    if rng.random() < photometric_prob:
+        # brightness/contrast/saturation jitter in [0.5, 1.5] (ColorJitter).
+        img = img.astype(np.float32)
+        b = rng.uniform(0.5, 1.5)
+        img = img * b
+        c = rng.uniform(0.5, 1.5)
+        mean = img.mean()
+        img = (img - mean) * c + mean
+        s = rng.uniform(0.5, 1.5)
+        gray = img.mean(axis=2, keepdims=True)
+        img = (img - gray) * s + gray
+        img = np.clip(img, 0, 255)
+    return img.astype(np.uint8), resize_ratio * crop_ratio
+
+
+def normalize_face(img: np.ndarray) -> np.ndarray:
+    """uint8 HWC -> float32 in [-1, 1] (the 0.5/0.5 transform)."""
+    return (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
+def load_bin_dataset(path: str, image_size: int = 112):
+    """Load an insightface verification .bin (pairs + issame) without
+    mxnet: the file is a pickled (bins, issame_list) where each bin is an
+    encoded jpg (convert.py:50-71 semantics)."""
+    import cv2
+
+    with open(path, "rb") as f:
+        bins, issame_list = pickle.load(f, encoding="bytes")
+    n = len(bins)
+    data = np.zeros((n, image_size, image_size, 3), np.uint8)
+    for i, b in enumerate(bins):
+        arr = np.frombuffer(
+            b if isinstance(b, (bytes, bytearray)) else b.tobytes(),
+            dtype=np.uint8,
+        )
+        img = cv2.imdecode(arr, cv2.IMREAD_COLOR)  # BGR
+        if img.shape[0] != image_size:
+            img = cv2.resize(img, (image_size, image_size))
+        data[i] = img[:, :, ::-1]  # RGB
+    return data, np.asarray(issame_list, bool)
+
+
+def get_val_pair_memfile(
+    data_dir: str, name: str
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Memmap validation loader (evaluate_utils.py:28-57): expects
+    `{name}/memfile/{name}.npy`-style dumps + `{name}_list.npy` issame."""
+    mem_path = os.path.join(data_dir, name, "memfile", f"{name}.npy")
+    issame_path = os.path.join(data_dir, f"{name}_list.npy")
+    carray = np.load(mem_path, mmap_mode="r")
+    issame = np.load(issame_path)
+    return carray, issame
+
+
+VAL_SET_NAMES = ("agedb_30", "cfp_fp", "lfw", "cplfw", "calfw")
+
+
+def load_five_validation_sets(data_dir: str) -> Dict[str, tuple]:
+    """The 5-set validation bundle of train_val.py:106-136 / data.py:263."""
+    out = {}
+    for name in VAL_SET_NAMES:
+        bin_path = os.path.join(data_dir, f"{name}.bin")
+        if os.path.exists(bin_path):
+            out[name] = load_bin_dataset(bin_path)
+        else:
+            out[name] = get_val_pair_memfile(data_dir, name)
+    return out

@@ -1,0 +1,157 @@
+"""Margin-softmax heads: AdaFace, ArcFace, CosFace.
+
+The reference's `head.py` is MISSING from the repo (train_val.py:9,35
+imports `head.build_head`, so the recognition trainer cannot run as
+shipped — SURVEY.md section 0). Re-implemented here from the AdaFace
+paper ("AdaFace: Quality Adaptive Margin for Face Recognition",
+CVPR 2022) and the standard ArcFace/CosFace definitions, with the
+interface train_val.py expects: head(embeddings, norms, labels) ->
+cos_thetas scaled logits.
+
+AdaFace: the margin adapts to image quality proxied by the feature norm.
+With batch-standardized norms z = clip((||f|| - mu)/(sigma/h), -1, 1):
+  g_angular  = -m * z       (arc margin, harder for high-norm)
+  g_additive =  m * z + m   (cosine margin)
+  logit_target = s * (cos(theta + g_angular) - g_additive)
+mu/sigma track batch statistics with EMA momentum 0.01.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _normalized_kernel(module, embedding_size, classnum, dtype):
+    kernel = module.param(
+        "kernel",
+        nn.initializers.normal(0.01),
+        (embedding_size, classnum),
+        jnp.float32,
+    ).astype(dtype)
+    return kernel / jnp.clip(
+        jnp.linalg.norm(kernel, axis=0, keepdims=True), 1e-12, None
+    )
+
+
+class AdaFaceHead(nn.Module):
+    classnum: int
+    embedding_size: int = 512
+    m: float = 0.4
+    h: float = 0.333
+    s: float = 64.0
+    t_alpha: float = 0.01  # EMA momentum of the norm statistics
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, embeddings, norms, labels, train: bool = False):
+        """embeddings: [B, D] l2-normalized; norms: [B, 1]; labels: [B]."""
+        kernel = _normalized_kernel(
+            self, self.embedding_size, self.classnum, embeddings.dtype
+        )
+        cosine = jnp.clip(embeddings @ kernel, -1 + self.eps, 1 - self.eps)
+
+        safe_norms = jnp.clip(norms, 0.001, 100.0)
+        batch_mean = self.variable(
+            "batch_stats", "batch_mean", lambda: jnp.asarray(20.0)
+        )
+        batch_std = self.variable(
+            "batch_stats", "batch_std", lambda: jnp.asarray(100.0)
+        )
+        if train:
+            mean = jnp.mean(safe_norms)
+            std = jnp.std(safe_norms)
+            batch_mean.value = (
+                self.t_alpha * mean + (1 - self.t_alpha) * batch_mean.value
+            )
+            batch_std.value = (
+                self.t_alpha * std + (1 - self.t_alpha) * batch_std.value
+            )
+
+        margin_scaler = (safe_norms[:, 0] - batch_mean.value) / (
+            batch_std.value + self.eps
+        )
+        margin_scaler = jnp.clip(margin_scaler * self.h, -1.0, 1.0)
+
+        onehot = jax.nn.one_hot(labels, self.classnum, dtype=cosine.dtype)
+
+        # g_angular: theta_target + (-m * scaler)
+        m_arc = -self.m * margin_scaler[:, None] * onehot
+        theta = jnp.arccos(cosine)
+        theta_m = jnp.clip(
+            theta + m_arc, self.eps, jnp.pi - self.eps
+        )
+        cosine = jnp.cos(theta_m)
+
+        # g_additive: subtract m * (scaler + 1) from the target logit.
+        m_cos = (self.m * margin_scaler[:, None] + self.m) * onehot
+        cosine = cosine - m_cos
+        return cosine * self.s
+
+
+class ArcFaceHead(nn.Module):
+    classnum: int
+    embedding_size: int = 512
+    m: float = 0.5
+    s: float = 64.0
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, embeddings, norms, labels, train: bool = False):
+        kernel = _normalized_kernel(
+            self, self.embedding_size, self.classnum, embeddings.dtype
+        )
+        cosine = jnp.clip(embeddings @ kernel, -1 + self.eps, 1 - self.eps)
+        onehot = jax.nn.one_hot(labels, self.classnum, dtype=cosine.dtype)
+        theta = jnp.arccos(cosine)
+        theta_m = jnp.clip(
+            theta + self.m * onehot, self.eps, jnp.pi - self.eps
+        )
+        return jnp.cos(theta_m) * self.s
+
+
+class CosFaceHead(nn.Module):
+    classnum: int
+    embedding_size: int = 512
+    m: float = 0.4
+    s: float = 64.0
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, embeddings, norms, labels, train: bool = False):
+        kernel = _normalized_kernel(
+            self, self.embedding_size, self.classnum, embeddings.dtype
+        )
+        cosine = jnp.clip(embeddings @ kernel, -1 + self.eps, 1 - self.eps)
+        onehot = jax.nn.one_hot(labels, self.classnum, dtype=cosine.dtype)
+        return (cosine - self.m * onehot) * self.s
+
+
+def build_head(
+    head_type: str = "adaface",
+    embedding_size: int = 512,
+    class_num: int = 70722,
+    m: float = 0.4,
+    h: float = 0.333,
+    t_alpha: float = 0.01,
+    s: float = 64.0,
+):
+    """The interface train_val.py:34-42 expects from the missing head.py."""
+    head_type = head_type.lower()
+    if head_type == "adaface":
+        return AdaFaceHead(
+            classnum=class_num, embedding_size=embedding_size, m=m, h=h,
+            s=s, t_alpha=t_alpha,
+        )
+    if head_type == "arcface":
+        return ArcFaceHead(
+            classnum=class_num, embedding_size=embedding_size, m=m, s=s
+        )
+    if head_type == "cosface":
+        return CosFaceHead(
+            classnum=class_num, embedding_size=embedding_size, m=m, s=s
+        )
+    raise ValueError(f"unknown head type {head_type!r}")

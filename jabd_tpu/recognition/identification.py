@@ -1,0 +1,156 @@
+"""Open/closed-set identification protocols for low-quality faces.
+
+Port of the probe/gallery ranking machinery behind the reference's
+TinyFace and IJB-S evaluations: `DIR_FAR` (validation_lq/
+tinyface_helper.py:86-170 / PFE/utils.py), threshold search by FAR, and
+the TinyFace-style rank-k retrieval harness
+(validation_lq/validate_tinyface.py with flip-TTA fusion methods :29-65).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def inner_product(x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
+    """Cosine scores for l2-normalized features
+    (tinyface_helper.py:70-83)."""
+    return np.dot(x1, x2.T)
+
+
+def find_thresholds_by_FAR(
+    score_vec: np.ndarray,
+    label_vec: np.ndarray,
+    FARs: Sequence[float],
+    epsilon: float = 1e-5,
+) -> np.ndarray:
+    """Threshold per requested false-accept rate over non-mate scores."""
+    assert score_vec.ndim == 1 and score_vec.shape == label_vec.shape
+    score_neg = np.sort(score_vec[~label_vec.astype(bool)])[::-1]
+    num_neg = len(score_neg)
+    thresholds = []
+    for far in FARs:
+        if far <= 0.0:
+            thresholds.append(score_neg[0] + epsilon)
+        else:
+            num_false_alarms = int(np.ceil(num_neg * far))
+            if num_false_alarms >= num_neg:
+                thresholds.append(score_neg[-1] - epsilon)
+            else:
+                thresholds.append(score_neg[num_false_alarms - 1] + epsilon)
+    return np.asarray(thresholds)
+
+
+def DIR_FAR(
+    score_mat: np.ndarray,
+    label_mat: np.ndarray,
+    ranks: Sequence[int] = (1,),
+    FARs: Sequence[float] = (1.0,),
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Closed/open-set identification (CMC generalized with thresholds).
+
+    score_mat: [P, G]; label_mat: [P, G] bool. Returns (DIRs [F, R]
+    squeezed, measured FARs [F], thresholds [F]).
+    Mirrors tinyface_helper.py:86-170.
+    """
+    assert score_mat.shape == label_mat.shape
+    match = label_mat.astype(bool).any(axis=1)
+    score_m, label_m = score_mat[match], label_mat[match].astype(bool)
+    score_nm = score_mat[~match]
+
+    if len(FARs) == 1 and FARs[0] >= 1.0:
+        thresholds = np.asarray([np.min(score_mat) - 1e-10])
+        openset = False
+    else:
+        assert score_nm.shape[0] > 0, (
+            "open-set identification needs non-mate probes"
+        )
+        max_nm = np.max(score_nm, axis=1)
+        thresholds = find_thresholds_by_FAR(
+            max_nm, np.zeros(max_nm.shape, bool), FARs
+        )
+        openset = True
+
+    order = np.argsort(score_m, axis=1)[:, ::-1]
+    sorted_label = np.take_along_axis(label_m, order, axis=1)
+
+    if openset:
+        gt_score = score_m[label_m]
+        assert gt_score.size == score_m.shape[0]
+
+    DIRs = np.zeros((len(thresholds), len(ranks)), np.float32)
+    out_FARs = np.zeros(len(thresholds), np.float32)
+    for i, threshold in enumerate(thresholds):
+        for j, rank in enumerate(ranks):
+            success = sorted_label[:, :rank].any(axis=1)
+            if openset:
+                DIRs[i, j] = float(
+                    ((gt_score >= threshold) & success).mean()
+                )
+            else:
+                DIRs[i, j] = float(success.mean())
+        if openset:
+            out_FARs[i] = float((np.max(score_nm, 1) >= threshold).mean())
+    if DIRs.shape[0] == 1 or DIRs.shape[1] == 1:
+        DIRs = DIRs.flatten()
+    return DIRs, out_FARs, thresholds
+
+
+def fuse_flip_features(
+    features: np.ndarray, flipped_features: np.ndarray, method: str = "norm_weighted_avg"
+) -> np.ndarray:
+    """Flip-TTA fusion methods of validate_tinyface.py:29-65."""
+    if method == "norm_weighted_avg":
+        n1 = np.linalg.norm(features, axis=1, keepdims=True)
+        n2 = np.linalg.norm(flipped_features, axis=1, keepdims=True)
+        fused = features * n1 + flipped_features * n2
+    elif method == "average":
+        fused = features + flipped_features
+    elif method == "concat":
+        return np.concatenate([features, flipped_features], axis=1)
+    elif method == "faceness_score":
+        raise NotImplementedError(
+            "faceness-score fusion needs detector scores"
+        )
+    else:
+        raise ValueError(method)
+    return fused / np.clip(
+        np.linalg.norm(fused, axis=1, keepdims=True), 1e-12, None
+    )
+
+
+class RankRetrievalTest:
+    """TinyFace-style identification: probe vs gallery (+ distractors).
+
+    Mirrors TinyFaceTest.init_proto/test_identification
+    (validation_lq/tinyface_helper.py:28-70): gallery = mate gallery +
+    distractor set; rank-k accuracy via DIR_FAR at FAR=1.
+    """
+
+    def __init__(
+        self,
+        probe_labels: np.ndarray,
+        gallery_labels: np.ndarray,
+        num_distractors: int = 0,
+    ):
+        self.probe_labels = np.asarray(probe_labels)
+        g = np.asarray(gallery_labels)
+        if num_distractors:
+            g = np.concatenate([g, np.full(num_distractors, -100)])
+        self.gallery_labels = g
+
+    def identification(
+        self,
+        probe_features: np.ndarray,
+        gallery_features: np.ndarray,
+        ranks: Sequence[int] = (1, 5, 20),
+    ) -> Dict[int, float]:
+        assert gallery_features.shape[0] == self.gallery_labels.shape[0]
+        score = inner_product(probe_features, gallery_features)
+        label = (
+            self.probe_labels[:, None] == self.gallery_labels[None, :]
+        )
+        DIRs, _, _ = DIR_FAR(score, label, ranks=list(ranks), FARs=[1.0])
+        return {r: float(d) for r, d in zip(ranks, np.atleast_1d(DIRs))}

@@ -1,0 +1,191 @@
+"""Recognition training: SPMD train step + flip-TTA validation.
+
+Replaces the reference's PyTorch-Lightning Trainer (main.py:37-50,
+train_val.py) — which cannot run as shipped (empty config.py, missing
+head.py) — with the same recipe on the TPU stack:
+  * model(images) -> (embedding, norm); head(emb, norm, labels) ->
+    scaled margin logits; cross-entropy (train_val.py:52-70);
+  * SGD momentum with weight decay 5e-4 on non-BN params only
+    (split_parameters, train_val.py:204-233) and MultiStepLR milestones;
+  * validation with horizontal-flip TTA fused by feature norm
+    (train_val.py:77-104, utils.py:20) and 10-fold verification;
+  * DDP all_gather of metrics becomes... nothing: the SPMD train step is
+    already global, and eval embeddings come back via jit output
+    (no pickled NCCL gather — utils.py:49-92 has no TPU analog needed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core, struct
+
+from jabd_tpu.recognition import heads as H
+from jabd_tpu.recognition import net as N
+from jabd_tpu.recognition import verification as V
+
+
+class RecTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any  # {'model': ..., 'head': ...}
+    batch_stats: Any
+    opt_state: optax.OptState
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def _is_bn_param(path) -> bool:
+    """BatchNorm scale/bias and PReLU alphas follow the reference's
+    no-decay group (split_parameters puts all _BatchNorm params there)."""
+    keys = [getattr(k, "key", "") for k in path]
+    return any("bn" in str(k) or k == "alpha" for k in keys)
+
+
+def make_optimizer(
+    lr: float,
+    milestones: Sequence[int],
+    gamma: float = 0.1,
+    momentum: float = 0.9,
+    weight_decay: float = 5e-4,
+) -> optax.GradientTransformation:
+    boundaries = {int(m): gamma for m in milestones}
+    schedule = optax.piecewise_constant_schedule(lr, boundaries)
+
+    def decay_mask(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: not _is_bn_param(path), params
+        )
+
+    return optax.chain(
+        optax.masked(optax.add_decayed_weights(weight_decay), decay_mask),
+        optax.trace(decay=momentum),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+def create_state(
+    rng: jax.Array,
+    model: N.IRBackbone,
+    head,
+    num_train_steps_hint: int,
+    lr: float = 0.1,
+    milestones: Sequence[int] = (12, 20, 24),
+    image_size: int = 112,
+) -> RecTrainState:
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    mv = jax.jit(functools.partial(model.init, train=False))(rng, dummy)
+    demb = jnp.zeros((1, 512), jnp.float32)
+    dnorm = jnp.ones((1, 1), jnp.float32)
+    hv = jax.jit(functools.partial(head.init, train=False))(
+        rng, demb, dnorm, jnp.zeros((1,), jnp.int32)
+    )
+    params = {"model": mv["params"], "head": hv["params"]}
+    batch_stats = {
+        "model": mv.get("batch_stats", core.FrozenDict()),
+        "head": hv.get("batch_stats", core.FrozenDict()),
+    }
+    tx = make_optimizer(lr, milestones)
+    return RecTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(model: N.IRBackbone, head):
+    def loss_fn(params, batch_stats, images, labels, rng):
+        (emb, norm), mut_m = model.apply(
+            {"params": params["model"], "batch_stats": batch_stats["model"]},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        logits, mut_h = head.apply(
+            {"params": params["head"], "batch_stats": batch_stats["head"]},
+            emb,
+            norm,
+            labels,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+        new_bs = {
+            "model": mut_m["batch_stats"],
+            "head": mut_h["batch_stats"],
+        }
+        acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+        return ce, (new_bs, acc)
+
+    @jax.jit
+    def step(state: RecTrainState, images, labels, rng):
+        (loss, (new_bs, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, images, labels, rng)
+        updates, new_opt = state.tx.update(
+            grads, state.opt_state, state.params
+        )
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=new_bs,
+                opt_state=new_opt,
+            ),
+            {"loss": loss, "acc": acc},
+        )
+
+    return step
+
+
+def extract_embeddings_tta(
+    model: N.IRBackbone,
+    variables,
+    images: np.ndarray,  # [N, H, W, 3] float32 normalized
+    batch_size: int = 256,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Flip-TTA embedding extraction with norm-weighted fusion
+    (train_val.py:77-104)."""
+    apply = jax.jit(
+        lambda v, x: model.apply(v, x, train=False)
+    )
+    embs, norms = [], []
+    n = len(images)
+    for lo in range(0, n, batch_size):
+        x = jnp.asarray(images[lo : lo + batch_size])
+        e1, n1 = apply(variables, x)
+        e2, n2 = apply(variables, x[:, :, ::-1, :])  # horizontal flip
+        stacked_e = np.stack([np.asarray(e1), np.asarray(e2)])
+        stacked_n = np.stack([np.asarray(n1), np.asarray(n2)])
+        fused, fused_norm = V.fuse_features_with_norm(stacked_e, stacked_n)
+        embs.append(fused)
+        norms.append(fused_norm)
+    return np.concatenate(embs), np.concatenate(norms)
+
+
+def validate_verification(
+    model: N.IRBackbone,
+    variables,
+    data: np.ndarray,  # [N, H, W, 3] uint8 or normalized float
+    issame: np.ndarray,
+    batch_size: int = 256,
+) -> Dict[str, float]:
+    """10-fold verification accuracy on one val set
+    (train_val.py:106-136 over evaluate_utils.evaluate)."""
+    if data.dtype == np.uint8:
+        data = (data.astype(np.float32) / 255.0 - 0.5) / 0.5
+    emb, _ = extract_embeddings_tta(model, variables, data, batch_size)
+    _, _, accuracy, best_thresholds = V.evaluate(emb, issame)
+    return {
+        "val_acc": float(accuracy.mean()),
+        "val_acc_std": float(accuracy.std()),
+        "best_threshold": float(best_thresholds.mean()),
+    }
