@@ -1,0 +1,309 @@
+"""Command-line interface.
+
+The reference has NO unified CLI — experiments are separate hard-coded
+script files and predict.py's mode switch (predict.py:424-544: `predict`,
+`video`, `fps`, `dir_predict`) plus count_param.py. This CLI covers all
+of those surfaces over the preset registry:
+
+  python -m jabd_tpu.cli predict  --model jabd_flagship --image img.jpg
+  python -m jabd_tpu.cli dir-predict --model ... --input-dir d/ --out o/
+  python -m jabd_tpu.cli video    --model ... [--video path|camera index]
+  python -m jabd_tpu.cli fps      --model ... --image img.jpg
+  python -m jabd_tpu.cli count    --model jabd_flagship [--size 640]
+  python -m jabd_tpu.cli map-txt  --model ... --val-dir widerval/ --out p/
+  python -m jabd_tpu.cli eval     --pred-dir p/ --gt-dir gt/
+  python -m jabd_tpu.cli train    --model jabd_flagship --label-txt l.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _load_predictor(args):
+    import jax
+    import jax.numpy as jnp
+
+    from jabd_tpu import configs
+    from jabd_tpu.models import build_model
+    from jabd_tpu.predict import Predictor
+
+    mcfg = configs.get_model_config(args.model)
+    model = build_model(mcfg, mode="eval")
+    shape = (1, args.input_size, args.input_size, 3)
+    if args.weights:
+        from jabd_tpu.utils.torch_convert import (
+            convert_flagship_state_dict,
+            load_pth,
+        )
+
+        if args.weights.endswith(".pth") or args.weights.endswith(".tar"):
+            params, stats = convert_flagship_state_dict(
+                load_pth(args.weights), mcfg
+            )
+            variables = {"params": params, "batch_stats": stats}
+        else:  # orbax checkpoint dir
+            import orbax.checkpoint as ocp
+
+            ckpt = ocp.StandardCheckpointer()
+            variables = ckpt.restore(os.path.abspath(args.weights))
+    else:
+        print("[warn] no --weights: random init", file=sys.stderr)
+        variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32)
+        )
+    pcfg = configs.PredictConfig(
+        confidence=args.confidence,
+        nms_iou=args.nms_iou,
+        input_shape=(args.input_size, args.input_size),
+    )
+    return Predictor(mcfg, variables, pcfg)
+
+
+def _draw(image, dets):
+    import cv2
+
+    img = image.copy()
+    for d in dets:
+        x1, y1, x2, y2 = (int(v) for v in d[:4])
+        cv2.rectangle(img, (x1, y1), (x2, y2), (0, 0, 255), 2)
+        cv2.putText(
+            img, f"{d[4]:.2f}", (x1, max(y1 - 3, 0)),
+            cv2.FONT_HERSHEY_SIMPLEX, 0.4, (255, 255, 255), 1,
+        )
+        for p in range(5):
+            cv2.circle(
+                img,
+                (int(d[5 + 2 * p]), int(d[6 + 2 * p])),
+                1,
+                (0, 255, 0),
+                2,
+            )
+    return img
+
+
+def cmd_predict(args):
+    import cv2
+
+    pred = _load_predictor(args)
+    img = cv2.imread(args.image)
+    dets = pred.detect_image(img)
+    print(f"{len(dets)} faces")
+    out = args.out or "out_" + os.path.basename(args.image)
+    cv2.imwrite(out, _draw(img, dets))
+    print("wrote", out)
+
+
+def cmd_dir_predict(args):
+    """predict.py:527-544 dir_predict mode."""
+    import cv2
+
+    pred = _load_predictor(args)
+    os.makedirs(args.out, exist_ok=True)
+    exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+    for name in sorted(os.listdir(args.input_dir)):
+        if not name.lower().endswith(exts):
+            continue
+        img = cv2.imread(os.path.join(args.input_dir, name))
+        dets = pred.detect_image(img)
+        cv2.imwrite(os.path.join(args.out, name), _draw(img, dets))
+        print(name, len(dets))
+
+
+def cmd_video(args):
+    """predict.py:478-520 video mode (EMA fps overlay)."""
+    import cv2
+
+    pred = _load_predictor(args)
+    src = int(args.video) if args.video.isdigit() else args.video
+    cap = cv2.VideoCapture(src)
+    writer = None
+    fps = 0.0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        t0 = time.time()
+        dets = pred.detect_image(frame)
+        fps = 0.9 * fps + 0.1 / max(time.time() - t0, 1e-6)
+        frame = _draw(frame, dets)
+        cv2.putText(frame, f"fps {fps:.1f}", (8, 24),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 255, 0), 2)
+        if args.out:
+            if writer is None:
+                writer = cv2.VideoWriter(
+                    args.out,
+                    cv2.VideoWriter_fourcc(*"mp4v"),
+                    25,
+                    (frame.shape[1], frame.shape[0]),
+                )
+            writer.write(frame)
+    cap.release()
+    if writer:
+        writer.release()
+
+
+def cmd_fps(args):
+    import cv2
+
+    pred = _load_predictor(args)
+    img = cv2.imread(args.image)
+    fps = pred.get_fps(img, test_interval=args.iters)
+    print(json.dumps({"fps": fps, "input": args.input_size}))
+
+
+def cmd_count(args):
+    """count_param.py equivalent: params + XLA-measured FLOPs."""
+    import jax
+    import jax.numpy as jnp
+
+    from jabd_tpu import configs
+    from jabd_tpu.models import build_model
+    from jabd_tpu.utils.profiling import count_params, flops_of
+
+    mcfg = configs.get_model_config(args.model)
+    model = build_model(mcfg, mode="eval")
+    x = jnp.zeros((1, args.size, args.size, 3), jnp.float32)
+    variables = jax.jit(lambda r, i: model.init(r, i, train=False))(
+        jax.random.PRNGKey(0), x
+    )
+    n = count_params(variables["params"])
+    fl = flops_of(lambda v, i: model.apply(v, i, train=False), variables, x)
+    print(
+        json.dumps(
+            {
+                "model": args.model,
+                "params_m": round(n / 1e6, 4),
+                "gflops": round(fl / 1e9, 4),
+                "input": args.size,
+            }
+        )
+    )
+
+
+def cmd_map_txt(args):
+    """get_map_txt dump over a WIDER val tree (predict.py:338-415 format
+    consumed by the evaluator)."""
+    import cv2
+
+    pred = _load_predictor(args)
+    for event in sorted(os.listdir(args.val_dir)):
+        event_dir = os.path.join(args.val_dir, event)
+        if not os.path.isdir(event_dir):
+            continue
+        out_event = os.path.join(args.out, event)
+        os.makedirs(out_event, exist_ok=True)
+        for name in sorted(os.listdir(event_dir)):
+            if not name.lower().endswith((".jpg", ".png")):
+                continue
+            img = cv2.imread(os.path.join(event_dir, name))
+            rows = pred.get_map_txt_rows(img)
+            stem = os.path.splitext(name)[0]
+            with open(os.path.join(out_event, stem + ".txt"), "w") as f:
+                f.write(f"{event}/{name}\n{len(rows)}\n")
+                for r in rows:
+                    f.write(
+                        f"{r[0]:.3f} {r[1]:.3f} {r[2]:.3f} {r[3]:.3f} "
+                        f"{r[4]:.5f}\n"
+                    )
+        print("event done:", event)
+
+
+def cmd_eval(args):
+    from jabd_tpu.eval import evaluate_wider
+
+    aps = evaluate_wider(args.pred_dir, args.gt_dir, iou_thresh=args.iou)
+    print(json.dumps({k: round(v, 5) for k, v in aps.items()}))
+
+
+def cmd_train(args):
+    from jabd_tpu import configs, train
+    from jabd_tpu.data import WiderFaceDataset
+    from jabd_tpu.utils.checkpoint import CheckpointManager
+
+    mcfg = configs.get_model_config(args.model)
+    tcfg = configs.TrainConfig(
+        batch_size=args.batch_size,
+        image_size=args.input_size,
+        total_epochs=args.epochs,
+        freeze_epochs=args.freeze_epochs,
+    )
+    ds = WiderFaceDataset(args.label_txt, input_size=tcfg.image_size)
+    mgr = CheckpointManager(args.ckpt_dir)
+    train.fit(mcfg, tcfg, ds, log_dir=args.log_dir, checkpoint_manager=mgr)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="jabd_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, weights=True):
+        sp.add_argument("--model", default="jabd_flagship")
+        if weights:
+            sp.add_argument("--weights", default="")
+        sp.add_argument("--confidence", type=float, default=0.5)
+        sp.add_argument("--nms-iou", type=float, default=0.45)
+        sp.add_argument("--input-size", type=int, default=1280)
+
+    sp = sub.add_parser("predict")
+    common(sp)
+    sp.add_argument("--image", required=True)
+    sp.add_argument("--out", default="")
+    sp.set_defaults(fn=cmd_predict)
+
+    sp = sub.add_parser("dir-predict")
+    common(sp)
+    sp.add_argument("--input-dir", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_dir_predict)
+
+    sp = sub.add_parser("video")
+    common(sp)
+    sp.add_argument("--video", default="0")
+    sp.add_argument("--out", default="")
+    sp.set_defaults(fn=cmd_video)
+
+    sp = sub.add_parser("fps")
+    common(sp)
+    sp.add_argument("--image", required=True)
+    sp.add_argument("--iters", type=int, default=100)
+    sp.set_defaults(fn=cmd_fps)
+
+    sp = sub.add_parser("count")
+    sp.add_argument("--model", default="jabd_flagship")
+    sp.add_argument("--size", type=int, default=640)
+    sp.set_defaults(fn=cmd_count)
+
+    sp = sub.add_parser("map-txt")
+    common(sp)
+    sp.add_argument("--val-dir", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_map_txt)
+
+    sp = sub.add_parser("eval")
+    sp.add_argument("--pred-dir", required=True)
+    sp.add_argument("--gt-dir", required=True)
+    sp.add_argument("--iou", type=float, default=0.4)
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("train")
+    sp.add_argument("--model", default="jabd_flagship")
+    sp.add_argument("--label-txt", required=True)
+    sp.add_argument("--batch-size", type=int, default=34)
+    sp.add_argument("--input-size", type=int, default=840)
+    sp.add_argument("--epochs", type=int, default=100)
+    sp.add_argument("--freeze-epochs", type=int, default=50)
+    sp.add_argument("--ckpt-dir", default="checkpoints")
+    sp.add_argument("--log-dir", default="logs")
+    sp.set_defaults(fn=cmd_train)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,10 @@ class ModelConfig:
     nlm: Optional[NLMConfig] = dataclasses.field(default_factory=NLMConfig)
     # Anchors per level-cell (every reference config uses 2).
     anchors_per_cell: int = 2
+    # Optional IoU-prediction head (nets/retinaface_IOU.py /
+    # IOUHead nets/retinaface_eca_nonlocal.py:123-132 — defined there but
+    # dead in forward; functional here when enabled).
+    with_iou_head: bool = False
     # Leaky-relu slope rule: leaky=0.1 iff out_channels <= 64
     # (nets/layers.py:41-43, 73-75).
     # Loss: 'smooth_l1' (retinaface_training.py) | 'diou'
@@ -345,6 +349,119 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
         backbone_block_attention=None,
         num_levels=4,
         in_channels=(256, 512, 1024, 2048),
+        out_channels=256,
+        tap_attention=None,
+        fpn_attention=None,
+        fpn_upsample="nearest",
+        nlm=None,
+    ),
+    # nets/retinaface_att.py: ECA only on the FPN outputs.
+    "re50_fpn_att": _mk(
+        "re50_fpn_att",
+        anchors=CFG_RE50,
+        backbone="resnet50",
+        in_channels=(512, 1024, 2048),
+        out_channels=256,
+        backbone_block_attention=None,
+        tap_attention=None,
+        fpn_attention="eca",
+        eca_gate="sigmoid",
+        fpn_upsample="nearest",
+        nlm=None,
+    ),
+    # nets/retinaface_backbone_att.py: ECA on backbone outs + FPN_me.
+    "re50_backbone_att": _mk(
+        "re50_backbone_att",
+        anchors=CFG_RE50,
+        backbone="resnet50",
+        in_channels=(512, 1024, 2048),
+        out_channels=256,
+        backbone_block_attention=None,
+        tap_attention="eca",
+        fpn_attention=None,
+        eca_gate="sigmoid",
+        fpn_upsample="nearest",
+        nlm=None,
+    ),
+    # nets/retinaface_biaocha_eca.py: contrast ("biaocha" = stdv) ECA.
+    "re50_contrast_eca": _mk(
+        "re50_contrast_eca",
+        anchors=CFG_RE50,
+        backbone="resnet50",
+        in_channels=(512, 1024, 2048),
+        out_channels=256,
+        backbone_block_attention=None,
+        tap_attention="eca_stdv",
+        fpn_attention="eca_stdv",
+        eca_gate="sigmoid",
+        fpn_upsample="nearest",
+        nlm=None,
+    ),
+    # nets/retinaface_NonLocal.py: NLM-in-FPN only, no ECA anywhere.
+    "re50_nonlocal": _mk(
+        "re50_nonlocal",
+        anchors=CFG_RE50,
+        backbone="resnet50",
+        in_channels=(512, 1024, 2048),
+        out_channels=256,
+        backbone_block_attention=None,
+        tap_attention=None,
+        fpn_attention=None,
+        fpn_upsample="nearest",
+        nlm=NLMConfig(ch=4, psp_sizes=(1, 4, 8, 12)),
+    ),
+    # nets/retinaface_eca_hwish.py: ECA with hardsigmoid gate on resnet50.
+    "re50_eca_hsigmoid": _mk(
+        "re50_eca_hsigmoid",
+        anchors=CFG_RE50,
+        backbone="resnet50",
+        in_channels=(512, 1024, 2048),
+        out_channels=256,
+        backbone_block_attention=None,
+        tap_attention="eca",
+        fpn_attention="eca",
+        eca_gate="hsigmoid",
+        fpn_upsample="nearest",
+        nlm=None,
+    ),
+    # nets/retinaface_IOU.py: + IoU-prediction head.
+    "re50_iou_head": _mk(
+        "re50_iou_head",
+        anchors=CFG_RE50,
+        backbone="resnet50",
+        in_channels=(512, 1024, 2048),
+        out_channels=256,
+        backbone_block_attention=None,
+        tap_attention="eca",
+        fpn_attention="eca",
+        eca_gate="sigmoid",
+        fpn_upsample="nearest",
+        nlm=NLMConfig(ch=4, psp_sizes=(1, 4, 8, 12)),
+        with_iou_head=True,
+    ),
+    # retinaface_training_DIOU.py applied to the flagship: DIoU regression.
+    "jabd_flagship_diou": _mk(
+        "jabd_flagship_diou",
+        anchors=CFG_MNET,
+        backbone="mobilenet_v3_large",
+        backbone_block_attention="eca",
+        in_channels=(40, 80, 160),
+        out_channels=40,
+        tap_attention="eca_stdv",
+        fpn_attention="eca_stdv",
+        eca_gate="hsigmoid",
+        fpn_upsample="bicubic",
+        nlm=NLMConfig(ch=40, psp_sizes=(1, 3, 6, 8)),
+        box_loss="diou",
+    ),
+    # nets/retinaface50_self.py's commented EPSANet alternative backbone.
+    "epsa50_4level": _mk(
+        "epsa50_4level",
+        anchors=CFG_RE50_SELF,
+        backbone="epsanet50",
+        backbone_block_attention=None,
+        num_levels=4,
+        in_channels=(512, 1024, 1024, 2048),
         out_channels=256,
         tap_attention=None,
         fpn_attention=None,

@@ -47,6 +47,10 @@ def _make_backbone(cfg: ModelConfig, dtype) -> nn.Module:
             dtype=dtype,
             name="backbone",
         )
+    if cfg.backbone == "epsanet50":
+        from jabd_tpu.models.epsa import EPSANetBackbone
+
+        return EPSANetBackbone(dtype=dtype, name="backbone")
     rn_name = cfg.backbone
     # retinaface_152.py taps layer1..4 of ResNet-152 for the 4-level FPN.
     if rn_name == "resnet152" and cfg.num_levels == 4:
@@ -170,6 +174,18 @@ class RetinaFace(nn.Module):
         landm = landm.astype(jnp.float32)
         if self.mode == "eval":
             cls = jax.nn.softmax(cls, axis=-1)
+        if cfg.with_iou_head:
+            iou = jnp.concatenate(
+                [
+                    L.PredictionHead(
+                        1, cfg.anchors_per_cell, dtype=dtype,
+                        name=f"iou_head{i + 1}",
+                    )(f)
+                    for i, f in enumerate(features)
+                ],
+                axis=1,
+            ).astype(jnp.float32)
+            return bbox, cls, landm, iou
         return bbox, cls, landm
 
 

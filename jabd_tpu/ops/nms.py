@@ -140,6 +140,59 @@ def nms(
     return out_idx, out_valid
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("sigma", "score_threshold", "max_out"),
+)
+def soft_nms(
+    boxes: jnp.ndarray,  # [N, 4] corner form
+    scores: jnp.ndarray,  # [N]
+    sigma: float = 0.5,
+    score_threshold: float = 0.001,
+    max_out: int = 750,
+    valid: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gaussian soft-NMS: instead of hard suppression, decay overlapping
+    boxes' scores by exp(-iou^2 / sigma) and drop below score_threshold.
+
+    The reference ships this as `softer_nms` (utils/utils_bbox.py:65-114,
+    unused in the production path). Fixed-shape greedy formulation:
+    iterate in (current) score order; each selection decays later boxes.
+
+    Returns (indices [max_out], rescored [max_out], valid [max_out]).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    s = jnp.where(valid, scores, NEG_INF)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+    def body(i, carry):
+        s_cur, sel_idx, sel_score = carry
+        j = jnp.argmax(s_cur)
+        sj = s_cur[j]
+        sel_idx = sel_idx.at[i].set(j)
+        sel_score = sel_score.at[i].set(sj)
+        metric = _suppression_row(boxes[j], boxes, areas, "iou", 1.0)
+        decay = jnp.exp(-(metric**2) / sigma)
+        s_new = s_cur * decay
+        s_new = s_new.at[j].set(NEG_INF)  # selected: remove from pool
+        # If the top score fell below threshold, poison the pool so later
+        # iterations select nothing meaningful.
+        s_new = jnp.where(sj >= score_threshold, s_new, NEG_INF)
+        return s_new, sel_idx, sel_score
+
+    k = min(max_out, n)
+    init = (
+        s,
+        jnp.zeros((max_out,), jnp.int32),
+        jnp.full((max_out,), NEG_INF),
+    )
+    _, sel_idx, sel_score = jax.lax.fori_loop(0, k, body, init)
+    out_valid = sel_score >= score_threshold
+    return sel_idx, jnp.where(out_valid, sel_score, 0.0), out_valid
+
+
 def topk_candidates(
     boxes: jnp.ndarray,  # [N, 4]
     scores: jnp.ndarray,  # [N]

@@ -1,0 +1,96 @@
+"""Coverage of the remaining reference inventory: soft-NMS, IoU head,
+EPSA backbone, ablation presets, CLI count tool."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jabd_tpu import configs
+from jabd_tpu.models import build_model
+from jabd_tpu.ops import anchors as A
+from jabd_tpu.ops import nms as N
+from tests.conftest import random_boxes
+
+
+def test_soft_nms_decays_overlaps():
+    boxes = np.asarray(
+        [[0, 0, 1, 1], [0.05, 0.05, 1.05, 1.05], [3, 3, 4, 4]], np.float32
+    )
+    scores = np.asarray([0.9, 0.85, 0.8], np.float32)
+    idx, rescored, valid = N.soft_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), sigma=0.5,
+        score_threshold=0.01, max_out=3,
+    )
+    idx, rescored, valid = map(np.asarray, (idx, rescored, valid))
+    assert valid.all()
+    assert idx[0] == 0 and rescored[0] == pytest.approx(0.9)
+    # Heavy overlap with box 0 -> decayed well below its original score.
+    pos1 = list(idx).index(1)
+    assert rescored[pos1] < 0.5
+    # Disjoint box keeps ~its score.
+    pos2 = list(idx).index(2)
+    assert rescored[pos2] == pytest.approx(0.8, rel=1e-3)
+
+
+def test_soft_nms_threshold_drops(rng):
+    boxes = np.repeat(random_boxes(rng, 1), 5, axis=0)  # 5 identical boxes
+    scores = np.linspace(0.9, 0.5, 5).astype(np.float32)
+    idx, rescored, valid = N.soft_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), sigma=0.5,
+        score_threshold=0.4, max_out=5,
+    )
+    # exp(-1/0.5) ~ 0.135 decay per selection: only the first survives.
+    assert np.asarray(valid).sum() == 1
+
+
+def test_iou_head_output():
+    cfg = dataclasses.replace(
+        configs.get_model_config("mnet_v3_plain"),
+        compute_dtype="float32",
+        with_iou_head=True,
+    )
+    model = build_model(cfg, mode="train")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda r, i: model.init(r, i, train=False))(
+        jax.random.PRNGKey(0), x
+    )
+    out = jax.jit(lambda v, i: model.apply(v, i, train=False))(variables, x)
+    assert len(out) == 4
+    n = A.num_anchors(cfg.anchors, (64, 64))
+    assert out[3].shape == (1, n, 1)
+
+
+def test_all_presets_have_consistent_channels():
+    for name, cfg in configs.MODEL_PRESETS.items():
+        assert len(cfg.in_channels) >= cfg.num_levels, name
+        assert cfg.anchors.num_levels == cfg.num_levels, name
+        assert cfg.out_channels % 4 == 0, name  # SSH split
+
+
+@pytest.mark.slow
+def test_epsa_preset_builds():
+    cfg = dataclasses.replace(
+        configs.get_model_config("epsa50_4level"), compute_dtype="float32"
+    )
+    model = build_model(cfg, mode="train")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda r, i: model.init(r, i, train=False))(
+        jax.random.PRNGKey(0), x
+    )
+    out = jax.jit(lambda v, i: model.apply(v, i, train=False))(variables, x)
+    n = A.num_anchors(cfg.anchors, (64, 64))
+    assert out[0].shape == (1, n, 4)
+
+
+def test_cli_count_smoke(capsys):
+    from jabd_tpu import cli
+
+    cli.main(["count", "--model", "mnet_v3_plain", "--size", "64"])
+    out = capsys.readouterr().out
+    import json
+
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["params_m"] > 0 and rec["gflops"] > 0
