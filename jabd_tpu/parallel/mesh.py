@@ -24,6 +24,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (DCN across slices).
+
+    The TPU analog of the reference's torch.distributed/NCCL setup
+    (main.py:37-50): after this, jax.devices() spans every host's chips
+    and the same Mesh/jit SPMD code scales across hosts unchanged.
+    No-ops when already initialized or running single-process.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     axis_name: str = DATA_AXIS,
