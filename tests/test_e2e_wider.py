@@ -1,0 +1,73 @@
+"""End-to-end WIDER pipeline integration: images -> Predictor ->
+map-txt dumps -> official evaluator over fabricated .mat ground truth
+(SURVEY.md section 4's planned "end-to-end WIDER-protocol test on a tiny
+synthetic event tree")."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jabd_tpu import configs
+from jabd_tpu.eval import evaluate_wider
+from jabd_tpu.models import build_model
+from jabd_tpu.predict import Predictor
+from tests.test_eval import _fake_gt_dir
+
+
+@pytest.mark.slow
+def test_map_txt_to_evaluation(tmp_path, rng):
+    import cv2
+
+    # Tiny val tree: 1 event, 2 images.
+    events = {"0--Parade": {}}
+    val_dir = tmp_path / "val" / "0--Parade"
+    val_dir.mkdir(parents=True)
+    gt = {}
+    for i in range(2):
+        img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+        cv2.imwrite(str(val_dir / f"img_{i}.jpg"), img)
+        gt[f"img_{i}"] = [[20, 20, 30, 30]]
+    events["0--Parade"] = gt
+    gt_dir = _fake_gt_dir(tmp_path, events)
+
+    mcfg = dataclasses.replace(
+        configs.get_model_config("mnet_v3_plain"), compute_dtype="float32"
+    )
+    model = build_model(mcfg, mode="eval")
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    pcfg = configs.PredictConfig(
+        confidence=0.02,
+        input_shape=(64, 64),
+        max_detections=64,
+        pre_nms_topk=128,
+    )
+    pred = Predictor(mcfg, variables, pcfg, use_pallas=False)
+
+    # map-txt dump in the reference layout (predict.py get_map_txt +
+    # evaluator-consumed txt files).
+    out_dir = tmp_path / "preds"
+    for event in os.listdir(tmp_path / "val"):
+        (out_dir / event).mkdir(parents=True)
+        for name in os.listdir(tmp_path / "val" / event):
+            img = cv2.imread(str(tmp_path / "val" / event / name))
+            rows = pred.get_map_txt_rows(img)
+            stem = os.path.splitext(name)[0]
+            with open(out_dir / event / (stem + ".txt"), "w") as f:
+                f.write(f"{event}/{name}\n{len(rows)}\n")
+                for r in rows:
+                    f.write(
+                        f"{r[0]:.3f} {r[1]:.3f} {r[2]:.3f} {r[3]:.3f} "
+                        f"{r[4]:.5f}\n"
+                    )
+
+    aps = evaluate_wider(str(out_dir), gt_dir, iou_thresh=0.4)
+    # Random weights: AP is arbitrary but the protocol must produce a
+    # finite value in [0, 1] for every setting.
+    for s in ("easy", "medium", "hard"):
+        assert 0.0 <= aps[s] <= 1.0
