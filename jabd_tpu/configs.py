@@ -131,6 +131,10 @@ class TrainConfig:
     max_targets: int = 128  # padded GT boxes per image
     save_period: int = 5
     seed: int = 0
+    # Rematerialize the forward pass in backward (jax.checkpoint): trades
+    # ~30% more FLOPs for activation memory — lets batch size grow past
+    # HBM limits at 840x840.
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

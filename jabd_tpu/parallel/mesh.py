@@ -78,3 +78,26 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     sh = replicate(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def prefetch_to_device(iterator, mesh: Mesh, depth: int = 2):
+    """Overlap host batch prep with device compute: keep `depth` batches
+    in flight, each already device_put with the batch axis sharded.
+
+    The TPU replacement for the reference DataLoader's pin_memory +
+    num_workers prefetch (train_mobilenetV3_ecagai.py:568-569)."""
+    import collections
+
+    queue = collections.deque()
+
+    def put(batch):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, batch_sharding(mesh)), batch
+        )
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

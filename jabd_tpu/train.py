@@ -135,13 +135,21 @@ def make_train_step(
     """
     model = build_model(model_cfg, mode="train")
 
-    def loss_fn(params, batch_stats, images, targets, anchors):
-        out, mut = model.apply(
+    def forward(params, batch_stats, images):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
             train=True,
             mutable=["batch_stats"],
         )
+
+    if train_cfg.remat:
+        # Recompute activations in backward instead of storing them
+        # (HBM-for-FLOPs trade; see TrainConfig.remat).
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params, batch_stats, images, targets, anchors):
+        out, mut = forward(params, batch_stats, images)
         parts = losses.multibox_loss(
             out,
             anchors,
