@@ -57,6 +57,18 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_for_batch(
+    batch_size: int, axis_name: str = DATA_AXIS
+) -> Mesh:
+    """Largest mesh whose device count divides batch_size (a sharded batch
+    axis must split evenly across the mesh)."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dimension across the mesh."""
     return NamedSharding(mesh, P(axis_name))

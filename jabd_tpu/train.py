@@ -189,7 +189,7 @@ def fit(
     from jabd_tpu.data.wider import train_loader
     from jabd_tpu.utils.logging import LossHistory
 
-    mesh = mesh or M.make_mesh()
+    mesh = mesh or M.make_mesh_for_batch(train_cfg.batch_size)
     steps_per_epoch = max(len(dataset) // train_cfg.batch_size, 1)
     anchors = jnp.asarray(
         A.generate_anchors(
