@@ -131,6 +131,107 @@ def get_val_pair_memfile(
     return carray, issame
 
 
+class ImageFolderDataset:
+    """Class-per-directory training dataset with the AdaFace augmentation
+    (the reference's CustomImageFolderDataset, data.py:166-260).
+
+    root/<class_name>/<image> ...; labels are contiguous ints in sorted
+    class-name order (torchvision ImageFolder convention). `swap_color`
+    replicates the WebFace BGR swap (data.py:205-207)."""
+
+    def __init__(
+        self,
+        root: str,
+        swap_color_channel: bool = False,
+        crop_prob: float = 0.2,
+        low_res_prob: float = 0.2,
+        photometric_prob: float = 0.2,
+        output_size: int = 112,
+    ):
+        self.root = root
+        self.swap_color_channel = swap_color_channel
+        self.crop_prob = crop_prob
+        self.low_res_prob = low_res_prob
+        self.photometric_prob = photometric_prob
+        self.output_size = output_size
+        classes = sorted(
+            d
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples: List[Tuple[str, int]] = []
+        exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+        for c in classes:
+            d = os.path.join(root, c)
+            for f in sorted(os.listdir(d)):
+                if f.lower().endswith(exts):
+                    self.samples.append(
+                        (os.path.join(d, f), self.class_to_idx[c])
+                    )
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.class_to_idx)
+
+    def get(self, index: int, rng: np.random.Generator):
+        import cv2
+        from PIL import Image
+
+        path, label = self.samples[index]
+        img = np.asarray(Image.open(path).convert("RGB"))
+        if self.swap_color_channel:
+            img = img[:, :, ::-1]
+        if img.shape[:2] != (self.output_size, self.output_size):
+            img = cv2.resize(img, (self.output_size, self.output_size))
+        img, _score = augment_face(
+            img,
+            rng,
+            crop_prob=self.crop_prob,
+            low_res_prob=self.low_res_prob,
+            photometric_prob=self.photometric_prob,
+        )
+        if rng.random() < 0.5:  # RandomHorizontalFlip in the transform
+            img = img[:, ::-1]
+        return normalize_face(img), label
+
+
+def recognition_train_loader(
+    dataset: ImageFolderDataset,
+    batch_size: int,
+    seed: int = 0,
+    num_workers: int = 8,
+    drop_last: bool = True,
+):
+    """Shuffled epoch of (images [B,H,W,3] float32, labels [B] int32)."""
+    import concurrent.futures as cf
+
+    order = np.random.default_rng(seed).permutation(len(dataset))
+    pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+    try:
+        def fetch(idx):
+            rng = np.random.default_rng(
+                (seed * 1_000_003 + int(idx) * 7919) & 0x7FFFFFFF
+            )
+            return dataset.get(int(idx), rng)
+
+        cursor = 0
+        while cursor + batch_size <= len(order) or (
+            not drop_last and cursor < len(order)
+        ):
+            idxs = order[cursor : cursor + batch_size]
+            cursor += batch_size
+            results = list(pool.map(fetch, idxs))
+            images = np.stack([r[0] for r in results]).astype(np.float32)
+            labels = np.asarray([r[1] for r in results], np.int32)
+            yield images, labels
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
+
+
 VAL_SET_NAMES = ("agedb_30", "cfp_fp", "lfw", "cplfw", "calfw")
 
 

@@ -204,3 +204,29 @@ def test_flip_tta_extraction(ir18, rng):
     np.testing.assert_allclose(
         np.linalg.norm(emb, axis=1), 1.0, rtol=1e-4
     )
+
+
+def test_image_folder_dataset(tmp_path, rng):
+    from PIL import Image
+
+    from jabd_tpu.recognition.data import (
+        ImageFolderDataset,
+        recognition_train_loader,
+    )
+
+    for cls in ("alice", "bob"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            arr = rng.integers(0, 255, (112, 112, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.jpg")
+    ds = ImageFolderDataset(str(tmp_path))
+    assert len(ds) == 6 and ds.num_classes == 2
+    img, label = ds.get(0, np.random.default_rng(0))
+    assert img.shape == (112, 112, 3)
+    assert -1.0 <= img.min() and img.max() <= 1.0
+    batches = list(recognition_train_loader(ds, batch_size=4, seed=1))
+    assert len(batches) == 1
+    images, labels = batches[0]
+    assert images.shape == (4, 112, 112, 3)
+    assert labels.dtype == np.int32
