@@ -71,3 +71,48 @@ def test_map_txt_to_evaluation(tmp_path, rng):
     # finite value in [0, 1] for every setting.
     for s in ("easy", "medium", "hard"):
         assert 0.0 <= aps[s] <= 1.0
+
+
+@pytest.mark.slow
+def test_batched_val_sweep(tmp_path, rng):
+    """run_wider_val: batched sweep produces the same prediction structure
+    as the per-image path and feeds the evaluator."""
+    import cv2
+
+    from jabd_tpu.eval.run_wider import run_wider_val
+
+    val_dir = tmp_path / "val"
+    gt = {}
+    for event in ("0--Parade", "1--Handshaking"):
+        (val_dir / event).mkdir(parents=True)
+        gt[event] = {}
+        for i in range(3):
+            img = rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+            cv2.imwrite(str(val_dir / event / f"img_{i}.jpg"), img)
+            gt[event][f"img_{i}"] = [[10, 10, 20, 20]]
+    gt_dir = _fake_gt_dir(tmp_path, gt)
+
+    mcfg = dataclasses.replace(
+        configs.get_model_config("mnet_v3_plain"), compute_dtype="float32"
+    )
+    model = build_model(mcfg, mode="eval")
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    pcfg = configs.PredictConfig(
+        confidence=0.02, input_shape=(64, 64), max_detections=32,
+        pre_nms_topk=64,
+    )
+    pred = Predictor(mcfg, variables, pcfg, use_pallas=False)
+    preds = run_wider_val(
+        pred, str(val_dir), batch_size=4, out_dir=str(tmp_path / "dump")
+    )
+    assert set(preds) == {"0--Parade", "1--Handshaking"}
+    assert all(len(v) == 3 for v in preds.values())
+    # txt dumps parse back identically
+    from jabd_tpu.eval.wider_eval import load_pred_dir
+
+    loaded = load_pred_dir(str(tmp_path / "dump"))
+    assert set(loaded) == set(preds)
+    aps = evaluate_wider(preds, gt_dir)
+    assert all(0.0 <= v <= 1.0 for v in aps.values())
