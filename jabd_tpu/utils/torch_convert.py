@@ -128,12 +128,38 @@ def convert_flagship_state_dict(
                 _convbn(params, stats, sd, f"{t}.skip.0", f"{t}.skip.1",
                         f + ("skip_dw",))
 
-    # --- external tap ECAs (eca_40/80/160; channel-named in the ref) ---
+    _convert_common(sd, cfg, params, stats)
+    return params, stats
+
+
+def _convert_common(
+    sd: Dict[str, np.ndarray],
+    cfg: ModelConfig,
+    params: Dict,
+    stats: Dict,
+    tap_eca_names: Tuple[str, ...] = (),
+) -> None:
+    """FPN / NLM / eca taps / SSH / heads — shared by every detector
+    assembly (flagship inline model, retinaface_eca_nonlocal.py, ...).
+
+    Sections whose keys are absent are skipped: the reference also loads
+    backbone-only pretrained checkpoints (nets/retinaface_r.py:238-246
+    strips and loads just the backbone)."""
+    # --- external tap ECAs. Flagship names them by tap channel count
+    # (eca_40/80/160); the resnet50 eca_nonlocal model keeps legacy names
+    # eca_64/128/256 despite 512/1024/2048 channels
+    # (nets/retinaface_eca_nonlocal.py:280-282).
     if cfg.tap_attention:
-        for i, ch in enumerate(cfg.in_channels[: cfg.num_levels]):
-            _eca(params, sd, f"eca_{ch}", (f"eca_tap{i + 1}",))
+        names = tap_eca_names or tuple(
+            f"eca_{ch}" for ch in cfg.in_channels[: cfg.num_levels]
+        )
+        for i, name in enumerate(names):
+            if f"{name}.conv.weight" in sd:
+                _eca(params, sd, name, (f"eca_tap{i + 1}",))
 
     # --- FPN ---
+    if "fpn.output1.0.weight" not in sd:
+        return  # backbone-only checkpoint
     for i in range(cfg.num_levels):
         _convbn(params, stats, sd, f"fpn.output{i + 1}.0",
                 f"fpn.output{i + 1}.1", ("fpn", f"output{i + 1}"))
@@ -169,6 +195,46 @@ def convert_flagship_state_dict(
         _conv_with_bias(params, sd, f"LandmarkHead.{i}.conv1x1",
                         (f"landmark_head{i + 1}", "conv1x1"))
 
+
+def convert_resnet_detector_state_dict(
+    sd: Dict[str, np.ndarray],
+    cfg: ModelConfig,
+    tap_eca_names: Tuple[str, ...] = ("eca_64", "eca_128", "eca_256"),
+) -> Tuple[Dict, Dict]:
+    """Convert a ResNet-backbone detector state dict (the predict.py model
+    nets/retinaface_eca_nonlocal.py and the train_50_* baselines).
+
+    torch names: body.conv1/bn1 + body.layer{s}.{i}.conv{1..3}/bn{1..3}
+    [+ downsample.0/.1] (torchvision ResNet via IntermediateLayerGetter),
+    then the common fpn/ssh/head surface.
+    """
+    from jabd_tpu.models.resnet import RESNET_SPECS
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    _convbn(params, stats, sd, "body.conv1", "body.bn1", ("backbone", "stem"))
+    rn_name = cfg.backbone
+    if rn_name == "resnet152" and cfg.num_levels == 4:
+        rn_name = "resnet152_l4"
+    blocks, planes, _ = RESNET_SPECS[rn_name]
+    in_ch = 64
+    for si, (nblocks, p) in enumerate(zip(blocks, planes)):
+        stride = 1 if si == 0 else 2
+        for bi in range(nblocks):
+            t = f"body.layer{si + 1}.{bi}"
+            f = ("backbone", f"layer{si + 1}_block{bi}")
+            for c in (1, 2, 3):
+                _convbn(params, stats, sd, f"{t}.conv{c}", f"{t}.bn{c}",
+                        f + (f"conv{c}",))
+            s = stride if bi == 0 else 1
+            if bi == 0 and (s != 1 or in_ch != p * 4):
+                _convbn(params, stats, sd, f"{t}.downsample.0",
+                        f"{t}.downsample.1", f + ("downsample",))
+            in_ch = p * 4
+
+    _convert_common(sd, cfg, params, stats, tap_eca_names=tap_eca_names)
     return params, stats
 
 
