@@ -11,7 +11,7 @@ config switches over one model graph.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 # ---------------------------------------------------------------------------
 # Anchor / geometry config (reference utils/config.py keys)
@@ -143,6 +143,8 @@ class PredictConfig:
 
     confidence: float = 0.5
     nms_iou: float = 0.45
+    # 'iou' (torchvision parity) or 'diou' (utils/utils_bbox.py:182).
+    nms_kind: str = "iou"
     input_shape: Tuple[int, int] = (1280, 1280)
     letterbox: bool = True
     max_detections: int = 750

@@ -15,8 +15,7 @@ exactly like the reference's CPU DataLoader workers.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import os
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 

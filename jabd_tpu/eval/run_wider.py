@@ -13,11 +13,10 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import os
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from jabd_tpu import configs
 from jabd_tpu.ops import image as I
 
 

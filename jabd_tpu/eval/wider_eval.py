@@ -13,7 +13,7 @@ or a directory of per-image txt dumps in the reference layout.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

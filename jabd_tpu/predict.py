@@ -19,10 +19,9 @@ Detection row layout (reference get_map_txt parity, predict.py:338-415):
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import time
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,11 +91,13 @@ def detect_batch(
     # (vmapping the kernel pays per-image dispatch overhead).
     if use_pallas:
         keep = NP.nms_keep_sorted_pallas_batched(
-            cand_boxes, valid, pcfg.nms_iou
+            cand_boxes, valid, pcfg.nms_iou, kind=pcfg.nms_kind
         )
     else:
         keep = jax.vmap(
-            lambda b, v: N.nms_keep_sorted(b, v, pcfg.nms_iou)
+            lambda b, v: N.nms_keep_sorted(
+                b, v, pcfg.nms_iou, kind=pcfg.nms_kind
+            )
         )(cand_boxes, valid)
 
     # Stage 3 (vmapped): compact kept rows (already score-ordered).

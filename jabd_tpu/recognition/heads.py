@@ -18,8 +18,6 @@ mu/sigma track batch statistics with EMA momentum 0.01.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -9,7 +9,7 @@ the TinyFace-style rank-k retrieval harness
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

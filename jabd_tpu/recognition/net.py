@@ -16,7 +16,7 @@ Structure notes kept for checkpoint-conversion parity:
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ comes from jabd_tpu.recognition.train.extract_embeddings_tta
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

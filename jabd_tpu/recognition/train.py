@@ -17,7 +17,7 @@ head.py) — with the same recipe on the TPU stack:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Iterable, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ import numpy as np
 import optax
 from flax import core, struct
 
-from jabd_tpu.recognition import heads as H
 from jabd_tpu.recognition import net as N
 from jabd_tpu.recognition import verification as V
 

@@ -8,8 +8,6 @@ used by train_val.py:77-104).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import numpy as np
 from scipy import interpolate
 from sklearn.model_selection import KFold

@@ -18,10 +18,9 @@ scatter/gather, no NCCL calls).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import time
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Tensor layout transforms:
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
