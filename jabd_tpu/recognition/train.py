@@ -170,6 +170,52 @@ def extract_embeddings_tta(
     return np.concatenate(embs), np.concatenate(norms)
 
 
+def extract_features_partitioned(
+    model: N.IRBackbone,
+    variables,
+    image_loader,  # callable(index) -> [H, W, 3] float32 normalized image
+    num_images: int,
+    num_partitions: int = 100,
+    batch_size: int = 256,
+    save_dir: str | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """IJB-S-scale feature extraction in bounded-memory partitions
+    (validate_IJB_S.py:59-106: the probe sets are millions of frames, so
+    features are extracted and optionally checkpointed per partition).
+
+    Returns ([N, 512] embeddings, [N, 1] norms)."""
+    import math
+    import os
+
+    part_size = math.ceil(num_images / num_partitions)
+    all_emb, all_norm = [], []
+    for p in range(num_partitions):
+        lo = p * part_size
+        hi = min(lo + part_size, num_images)
+        if lo >= hi:
+            break
+        part_file = (
+            os.path.join(save_dir, f"features_part{p}.npz")
+            if save_dir
+            else None
+        )
+        if part_file and os.path.exists(part_file):
+            z = np.load(part_file)
+            all_emb.append(z["emb"])
+            all_norm.append(z["norm"])
+            continue
+        images = np.stack([image_loader(i) for i in range(lo, hi)])
+        emb, norm = extract_embeddings_tta(
+            model, variables, images, batch_size
+        )
+        if part_file:
+            os.makedirs(save_dir, exist_ok=True)
+            np.savez(part_file, emb=emb, norm=norm)
+        all_emb.append(emb)
+        all_norm.append(norm)
+    return np.concatenate(all_emb), np.concatenate(all_norm)
+
+
 def validate_verification(
     model: N.IRBackbone,
     variables,

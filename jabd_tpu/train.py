@@ -200,6 +200,32 @@ def fit(
     history = LossHistory(log_dir)
 
     state = init_state
+    # Auto-resume from the latest checkpoint (the reference resumes by
+    # hand-pointing model_path at the last epoch .pth,
+    # train_mobilenetV3_ecagai.py:78,450-460 — here it's automatic and
+    # includes the optimizer state).
+    if (
+        state is None
+        and checkpoint_manager is not None
+        and checkpoint_manager.latest_step() is not None
+    ):
+        resumed_epoch = checkpoint_manager.latest_step()
+        template = create_train_state(
+            jax.random.PRNGKey(train_cfg.seed),
+            model_cfg,
+            train_cfg,
+            steps_per_epoch,
+            lr=(
+                train_cfg.lr_freeze
+                if resumed_epoch < train_cfg.freeze_epochs
+                else train_cfg.lr_unfreeze
+            ),
+            freeze_backbone=resumed_epoch < train_cfg.freeze_epochs,
+        )
+        state = checkpoint_manager.restore(template)
+        start_epoch = max(start_epoch, resumed_epoch)
+        print(f"resumed from checkpoint at epoch {resumed_epoch}")
+
     phase_bounds = [
         (start_epoch, train_cfg.freeze_epochs, train_cfg.lr_freeze, True),
         (

@@ -121,3 +121,28 @@ def test_prefetch_to_device():
     for i, b in enumerate(out):
         assert float(np.asarray(b)[0, 0]) == float(i)
         assert len(b.sharding.device_set) == 8
+
+
+def test_fit_auto_resume(tmp_path, wider_tree, tiny_cfg):  # noqa: F811
+    """fit() resumes from the latest checkpoint automatically."""
+    from jabd_tpu.data import WiderFaceDataset
+    from jabd_tpu.utils.checkpoint import CheckpointManager
+
+    ds = WiderFaceDataset(wider_tree, input_size=SIZE)
+    tcfg = configs.TrainConfig(
+        batch_size=2, image_size=SIZE, freeze_epochs=0, total_epochs=1,
+        max_targets=8, save_period=1,
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    train.fit(tiny_cfg, tcfg, ds, log_dir=str(tmp_path / "logs"),
+              checkpoint_manager=mgr)
+    assert mgr.latest_step() == 1
+    # Second fit with total_epochs=2 resumes at epoch 1, trains 1 more.
+    tcfg2 = configs.TrainConfig(
+        batch_size=2, image_size=SIZE, freeze_epochs=0, total_epochs=2,
+        max_targets=8, save_period=1,
+    )
+    state = train.fit(tiny_cfg, tcfg2, ds, log_dir=str(tmp_path / "logs2"),
+                      checkpoint_manager=mgr)
+    assert mgr.latest_step() == 2
+    assert int(state.step) >= 2

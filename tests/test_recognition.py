@@ -230,3 +230,23 @@ def test_image_folder_dataset(tmp_path, rng):
     images, labels = batches[0]
     assert images.shape == (4, 112, 112, 3)
     assert labels.dtype == np.int32
+
+
+def test_partitioned_feature_extraction(ir18, rng, tmp_path):
+    model, variables = ir18
+    images = rng.normal(0, 1, (7, 112, 112, 3)).astype(np.float32)
+    emb, norm = RT.extract_features_partitioned(
+        model, variables,
+        image_loader=lambda i: images[i],
+        num_images=7, num_partitions=3, batch_size=4,
+        save_dir=str(tmp_path / "parts"),
+    )
+    assert emb.shape == (7, 512)
+    # Second call hits the partition cache and matches.
+    emb2, _ = RT.extract_features_partitioned(
+        model, variables,
+        image_loader=lambda i: images[i],
+        num_images=7, num_partitions=3, batch_size=4,
+        save_dir=str(tmp_path / "parts"),
+    )
+    np.testing.assert_allclose(emb, emb2, rtol=1e-6)
