@@ -86,11 +86,20 @@ def _draw(image, dets):
     return img
 
 
+def _imread(path):
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        sys.exit(f"error: cannot read image {path!r}")
+    return img
+
+
 def cmd_predict(args):
     import cv2
 
     pred = _load_predictor(args)
-    img = cv2.imread(args.image)
+    img = _imread(args.image)
     dets = pred.detect_image(img)
     print(f"{len(dets)} faces")
     out = args.out or "out_" + os.path.basename(args.image)
@@ -151,7 +160,7 @@ def cmd_fps(args):
     import cv2
 
     pred = _load_predictor(args)
-    img = cv2.imread(args.image)
+    img = _imread(args.image)
     fps = pred.get_fps(img, test_interval=args.iters)
     print(json.dumps({"fps": fps, "input": args.input_size}))
 
