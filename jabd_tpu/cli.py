@@ -24,6 +24,15 @@ import sys
 import time
 
 
+def _get_config(name):
+    from jabd_tpu import configs
+
+    try:
+        return configs.get_model_config(name)
+    except KeyError as e:
+        sys.exit(str(e.args[0]) if e.args else str(e))
+
+
 def _load_predictor(args):
     import jax
     import jax.numpy as jnp
@@ -32,7 +41,7 @@ def _load_predictor(args):
     from jabd_tpu.models import build_model
     from jabd_tpu.predict import Predictor
 
-    mcfg = configs.get_model_config(args.model)
+    mcfg = _get_config(args.model)
     model = build_model(mcfg, mode="eval")
     shape = (1, args.input_size, args.input_size, 3)
     if args.weights:
@@ -174,7 +183,7 @@ def cmd_count(args):
     from jabd_tpu.models import build_model
     from jabd_tpu.utils.profiling import count_params, flops_of
 
-    mcfg = configs.get_model_config(args.model)
+    mcfg = _get_config(args.model)
     model = build_model(mcfg, mode="eval")
     x = jnp.zeros((1, args.size, args.size, 3), jnp.float32)
     variables = jax.jit(lambda r, i: model.init(r, i, train=False))(
@@ -234,7 +243,7 @@ def cmd_train(args):
     from jabd_tpu.data import WiderFaceDataset
     from jabd_tpu.utils.checkpoint import CheckpointManager
 
-    mcfg = configs.get_model_config(args.model)
+    mcfg = _get_config(args.model)
     tcfg = configs.TrainConfig(
         batch_size=args.batch_size,
         image_size=args.input_size,
