@@ -236,12 +236,14 @@ VAL_SET_NAMES = ("agedb_30", "cfp_fp", "lfw", "cplfw", "calfw")
 
 
 def load_five_validation_sets(data_dir: str) -> Dict[str, tuple]:
-    """The 5-set validation bundle of train_val.py:106-136 / data.py:263."""
+    """The 5-set validation bundle of train_val.py:106-136 / data.py:263.
+    Sets not present on disk are skipped (partial bundles are common)."""
     out = {}
     for name in VAL_SET_NAMES:
         bin_path = os.path.join(data_dir, f"{name}.bin")
+        mem_path = os.path.join(data_dir, name, "memfile", f"{name}.npy")
         if os.path.exists(bin_path):
             out[name] = load_bin_dataset(bin_path)
-        else:
+        elif os.path.exists(mem_path):
             out[name] = get_val_pair_memfile(data_dir, name)
     return out

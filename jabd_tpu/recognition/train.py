@@ -216,6 +216,30 @@ def extract_features_partitioned(
     return np.concatenate(all_emb), np.concatenate(all_norm)
 
 
+def validate_5sets(
+    model: N.IRBackbone,
+    variables,
+    data_dir: str,
+    batch_size: int = 256,
+) -> Dict[str, Dict[str, float]]:
+    """The reference's 5-set validation epoch (train_val.py:106-136 over
+    agedb_30/cfp_fp/lfw/cplfw/calfw): per-set flip-TTA 10-fold accuracy
+    plus the mean the ModelCheckpoint monitors (val_acc)."""
+    from jabd_tpu.recognition.data import load_five_validation_sets
+
+    out: Dict[str, Dict[str, float]] = {}
+    accs = []
+    for name, (data, issame) in load_five_validation_sets(data_dir).items():
+        res = validate_verification(
+            model, variables, np.asarray(data), np.asarray(issame),
+            batch_size,
+        )
+        out[name] = res
+        accs.append(res["val_acc"])
+    out["mean"] = {"val_acc": float(np.mean(accs))}
+    return out
+
+
 def validate_verification(
     model: N.IRBackbone,
     variables,

@@ -250,3 +250,20 @@ def test_partitioned_feature_extraction(ir18, rng, tmp_path):
         save_dir=str(tmp_path / "parts"),
     )
     np.testing.assert_allclose(emb, emb2, rtol=1e-6)
+
+
+def test_validate_5sets_partial_bundle(ir18, rng, tmp_path):
+    """validate_5sets over a partial memfile bundle (2 of 5 sets)."""
+    import os
+
+    model, variables = ir18
+    for name in ("lfw", "calfw"):
+        d = tmp_path / name / "memfile"
+        d.mkdir(parents=True)
+        data = rng.normal(0, 1, (24, 112, 112, 3)).astype(np.float32)
+        np.save(d / f"{name}.npy", data)
+        issame = np.asarray([True, False] * 6)  # 12 pairs (KFold needs >=10)
+        np.save(tmp_path / f"{name}_list.npy", issame)
+    out = RT.validate_5sets(model, variables, str(tmp_path), batch_size=4)
+    assert set(out) == {"lfw", "calfw", "mean"}
+    assert 0.0 <= out["mean"]["val_acc"] <= 1.0
