@@ -368,3 +368,21 @@ def test_flagship_decoded_box_iou(parity_pair, rng):
     area_j = (jbox[:, 2] - jbox[:, 0]) * (jbox[:, 3] - jbox[:, 1])
     iou = inter / (area_t + area_j - inter)
     assert iou.min() > 0.99, f"min decoded IoU {iou.min()}"
+
+
+@pytest.mark.slow
+def test_flagship_parity_realistic_scale(parity_pair, rng):
+    """320x320 (taps 40/20/10): exercises the bicubic align_corners ladder
+    and the NLM at realistic map sizes."""
+    tmodel, jmodel, variables, cfg = parity_pair
+    size = 320
+    x = rng.normal(0, 60, (1, size, size, 3)).astype(np.float32)
+    with torch.no_grad():
+        tb, tc, tl = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    jb, jc, jl = jax.jit(lambda v, i: jmodel.apply(v, i, train=False))(
+        variables, jnp.asarray(x)
+    )
+    for name, tv, jv in [("bbox", tb, jb), ("cls", tc, jc), ("landm", tl, jl)]:
+        np.testing.assert_allclose(
+            np.asarray(jv), tv.numpy(), rtol=5e-3, atol=1e-3, err_msg=name
+        )
