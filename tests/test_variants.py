@@ -94,3 +94,30 @@ def test_cli_count_smoke(capsys):
 
     rec = json.loads(out.strip().splitlines()[-1])
     assert rec["params_m"] > 0 and rec["gflops"] > 0
+
+
+@pytest.mark.slow
+def test_cli_video_mode(tmp_path, rng):
+    """Video mode end-to-end: synthetic 3-frame clip -> annotated output."""
+    import cv2
+
+    from jabd_tpu import cli
+
+    src = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 5, (128, 96))
+    assert w.isOpened(), "cv2 cannot write mp4 in this environment"
+    for _ in range(3):
+        w.write(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+    w.release()
+
+    out = str(tmp_path / "out.mp4")
+    cli.main([
+        "video", "--model", "mnet_v3_plain", "--video", src,
+        "--out", out, "--input-size", "64", "--confidence", "0.05",
+    ])
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 3
