@@ -193,6 +193,49 @@ def soft_nms(
     return sel_idx, jnp.where(out_valid, sel_score, 0.0), out_valid
 
 
+def nms_numpy(
+    boxes, scores, iou_threshold: float = 0.45, kind: str = "iou",
+    beta1: float = 1.0,
+):
+    """Host-side exact greedy NMS (numpy). For small, dynamically-sized
+    candidate sets (e.g. merging multi-scale pyramid detections) where a
+    jitted kernel would recompile per unique N. Returns kept indices in
+    score order."""
+    import numpy as np
+
+    boxes = np.asarray(boxes, dtype=np.float64)
+    scores = np.asarray(scores)
+    order = np.argsort(-scores, kind="stable")
+    suppressed = np.zeros(len(boxes), bool)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        xx1 = np.maximum(boxes[:, 0], boxes[i, 0])
+        yy1 = np.maximum(boxes[:, 1], boxes[i, 1])
+        xx2 = np.minimum(boxes[:, 2], boxes[i, 2])
+        yy2 = np.minimum(boxes[:, 3], boxes[i, 3])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        union = areas + areas[i] - inter
+        metric = inter / np.where(union > 0, union, 1)
+        if kind == "diou":
+            cx = (boxes[:, 0] + boxes[:, 2]) / 2
+            cy = (boxes[:, 1] + boxes[:, 3]) / 2
+            d = (cx - cx[i]) ** 2 + (cy - cy[i]) ** 2
+            ex1 = np.minimum(boxes[:, 0], boxes[i, 0])
+            ey1 = np.minimum(boxes[:, 1], boxes[i, 1])
+            ex2 = np.maximum(boxes[:, 2], boxes[i, 2])
+            ey2 = np.maximum(boxes[:, 3], boxes[i, 3])
+            c = (ex2 - ex1) ** 2 + (ey2 - ey1) ** 2
+            metric = metric - (d / np.where(c > 0, c, 1)) ** beta1
+        sup = metric > iou_threshold
+        sup[i] = False
+        suppressed |= sup
+    return np.asarray(keep, dtype=np.int64)
+
+
 def topk_candidates(
     boxes: jnp.ndarray,  # [N, 4]
     scores: jnp.ndarray,  # [N]

@@ -216,13 +216,12 @@ class Predictor:
         if not all_dets:
             return np.zeros((0, 15), np.float32)
         merged = np.concatenate(all_dets, 0)
-        idx, valid = N.nms(
-            jnp.asarray(merged[:, :4]),
-            jnp.asarray(merged[:, 4]),
-            iou_threshold=self.pcfg.nms_iou,
-            max_out=self.pcfg.max_detections,
-        )
-        return merged[np.asarray(idx)[np.asarray(valid)]]
+        # Host numpy NMS: the merged count varies per image, so the jitted
+        # kernel would recompile per unique N.
+        keep = N.nms_numpy(
+            merged[:, :4], merged[:, 4], iou_threshold=self.pcfg.nms_iou
+        )[: self.pcfg.max_detections]
+        return merged[keep]
 
     def get_fps(
         self, image: np.ndarray, test_interval: int = 100

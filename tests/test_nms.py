@@ -128,3 +128,12 @@ def test_pallas_interpret_matches_xla(rng):
             interpret=True,
         )
         np.testing.assert_array_equal(_kept(idx_x, val_x), _kept(idx_p, val_p))
+
+
+def test_nms_numpy_matches_golden(rng):
+    boxes = random_boxes(rng, 150)
+    scores = rng.uniform(0, 1, 150).astype(np.float32)
+    for kind in ("iou", "diou"):
+        want = np_greedy_nms(boxes, scores, 0.45, kind=kind)
+        got = N.nms_numpy(boxes, scores, 0.45, kind=kind)
+        np.testing.assert_array_equal(got, want)
