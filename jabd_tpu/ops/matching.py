@@ -66,14 +66,14 @@ def match_single(
 
     # Forced best-prior match. The reference loop `for j:
     # best_truth_idx[best_prior_idx[j]] = j` lets the LAST valid j win on
-    # conflicts; a max over GT index reproduces that exactly.
+    # conflicts; a scatter-max of GT indices reproduces that exactly (max
+    # over duplicates == largest j == last j) with O(G) updates instead of
+    # a [G, P] one-hot reduction.
     gt_ids = jnp.arange(num_gt)
-    # [G, P] one-hot of each GT's chosen prior, masked by validity.
-    chooses = (best_prior_idx[:, None] == jnp.arange(num_priors)[None, :]) & valid[
-        :, None
-    ]
-    forced_gt = jnp.max(
-        jnp.where(chooses, gt_ids[:, None], -1), axis=0
+    forced_gt = (
+        jnp.full((num_priors,), -1, dtype=gt_ids.dtype)
+        .at[best_prior_idx]
+        .max(jnp.where(valid, gt_ids, -1))
     )  # [P]; -1 = not forced
     is_forced = forced_gt >= 0
     best_truth_idx = jnp.where(is_forced, forced_gt, best_truth_idx)
