@@ -53,7 +53,23 @@ def match_single(
     num_gt = truths.shape[0]
     num_priors = priors.shape[0]
 
-    overlaps = B.jaccard(truths, B.point_form(priors))  # [G, P]
+    # Component-wise IoU (same math as boxes.jaccard on point_form(priors))
+    # written so XLA fuses the whole [G, P] computation into one pass —
+    # the stacked [..., 2] formulation materializes gigabyte-scale
+    # intermediates at [B=34, G=128, P=29126].
+    px1 = priors[:, 0] - priors[:, 2] / 2
+    py1 = priors[:, 1] - priors[:, 3] / 2
+    px2 = priors[:, 0] + priors[:, 2] / 2
+    py2 = priors[:, 1] + priors[:, 3] / 2
+    tx1, ty1, tx2, ty2 = (truths[:, i : i + 1] for i in range(4))  # [G, 1]
+    iw = jnp.clip(jnp.minimum(tx2, px2[None]) - jnp.maximum(tx1, px1[None]),
+                  0.0, None)
+    ih = jnp.clip(jnp.minimum(ty2, py2[None]) - jnp.maximum(ty1, py1[None]),
+                  0.0, None)
+    inter = iw * ih  # [G, P]
+    area_t = (tx2 - tx1) * (ty2 - ty1)  # [G, 1]
+    area_p = ((px2 - px1) * (py2 - py1))[None]  # [1, P]
+    overlaps = inter / (area_t + area_p - inter)
     # Padded GTs must never win: mask their rows to -1.
     overlaps = jnp.where(valid[:, None], overlaps, -1.0)
 
