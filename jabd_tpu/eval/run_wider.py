@@ -84,7 +84,7 @@ def run_wider_val(
             event, name = item
             img = cv2.imread(os.path.join(val_dir, event, name))
             x = I.preprocess_input_np(
-                I.letterbox_np(img.astype(np.float32), (tw, th))
+                I.letterbox_np(img, (tw, th)).astype(np.float32)
             )
             return event, name, img.shape[:2], x
 

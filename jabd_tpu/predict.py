@@ -165,13 +165,17 @@ class Predictor:
         (x1 y1 x2 y2 score lmk...), like get_map_txt (predict.py:338-415)."""
         ih, iw = image.shape[:2]
         th, tw = self.pcfg.input_shape
+        # Letterbox the image in its ORIGINAL dtype: cv2 resize of uint8
+        # rounds, and the reference resizes before float conversion
+        # (predict.py:144 -> utils/utils.py:15) — byte-parity requires the
+        # same order.
         if self.pcfg.letterbox:
-            x = I.letterbox_np(image.astype(np.float32), (tw, th))
+            x = I.letterbox_np(image, (tw, th))
         else:
             import cv2
 
-            x = cv2.resize(image.astype(np.float32), (tw, th))
-        x = I.preprocess_input_np(x)[None]
+            x = cv2.resize(image, (tw, th)).astype(np.float32)
+        x = I.preprocess_input_np(x.astype(np.float32))[None]
         dets, valid = self.detect_preprocessed(x)
         dets = np.asarray(dets[0])[np.asarray(valid[0])]
         if len(dets) == 0:
@@ -230,7 +234,7 @@ class Predictor:
         dets, valid = None, None
         th, tw = self.pcfg.input_shape
         x = I.preprocess_input_np(
-            I.letterbox_np(image.astype(np.float32), (tw, th))
+            I.letterbox_np(image, (tw, th)).astype(np.float32)
         )[None]
         xj = jnp.asarray(x)
         anchors = self._anchors_for((th, tw))
