@@ -151,3 +151,97 @@ def test_multibox_loss_matches_reference(ref, rng):
     np.testing.assert_allclose(
         float(got["loss_landm"]), float(want_landm), rtol=2e-3
     )
+
+
+def test_diou_multibox_loss_matches_reference(ref, rng):
+    """DIoU variant: reference retinaface_training_DIOU.MultiBoxLoss
+    (match_iou keeps raw boxes; IouLoss decodes preds and sums 1-DIoU)
+    vs our box_loss='diou' path."""
+    torch = ref["torch"]
+    import jax.numpy as jnp
+
+    from jabd_tpu import configs, losses
+    from jabd_tpu.ops import anchors as A
+    from tests.conftest import random_boxes
+
+    ref_diou = _load(
+        "ref_training_diou", "nets/retinaface_training_DIOU.py"
+    )
+    cfg = configs.AnchorConfig(
+        min_sizes=((16, 32), (64, 128)), steps=(16, 32)
+    )
+    priors = A.generate_anchors(cfg, (192, 192))
+    P = priors.shape[0]
+    bsz, gts = 2, (3, 6)
+    loc = rng.normal(0, 0.3, (bsz, P, 4)).astype(np.float32)
+    conf = rng.normal(0, 1, (bsz, P, 2)).astype(np.float32)
+    landm = rng.normal(0, 0.5, (bsz, P, 10)).astype(np.float32)
+
+    tlist = []
+    gmax = max(gts)
+    boxes = np.zeros((bsz, gmax, 4), np.float32)
+    labels = np.zeros((bsz, gmax), np.float32)
+    landms_t = np.zeros((bsz, gmax, 10), np.float32)
+    valid = np.zeros((bsz, gmax), bool)
+    for i, g in enumerate(gts):
+        t = random_boxes(rng, g)
+        lb = np.ones((g,), np.float32)
+        lm = rng.uniform(0, 1, (g, 10)).astype(np.float32)
+        tlist.append(
+            torch.from_numpy(np.concatenate([t, lm, lb[:, None]], 1))
+        )
+        boxes[i, :g], labels[i, :g], landms_t[i, :g] = t, lb, lm
+        valid[i, :g] = True
+
+    criterion = ref_diou.MultiBoxLoss(2, 0.35, 7, [0.1, 0.2], cuda=False)
+    with torch.no_grad():
+        want_l, want_c, want_landm = criterion(
+            (
+                torch.from_numpy(loc),
+                torch.from_numpy(conf),
+                torch.from_numpy(landm),
+            ),
+            torch.from_numpy(priors.copy()),
+            tlist,
+        )
+    got = losses.multibox_loss(
+        (jnp.asarray(loc), jnp.asarray(conf), jnp.asarray(landm)),
+        jnp.asarray(priors),
+        losses.Targets(
+            boxes=jnp.asarray(boxes),
+            labels=jnp.asarray(labels),
+            landms=jnp.asarray(landms_t),
+            valid=jnp.asarray(valid),
+        ),
+        box_loss="diou",
+    )
+    np.testing.assert_allclose(float(got["loss_l"]), float(want_l), rtol=5e-3)
+    np.testing.assert_allclose(float(got["loss_c"]), float(want_c), rtol=2e-3)
+    np.testing.assert_allclose(
+        float(got["loss_landm"]), float(want_landm), rtol=2e-3
+    )
+
+
+def test_iou_family_matches_reference_box_utils(ref, rng):
+    """Pairwise IoU/GIoU matrices vs utils/box_utils.py (the reference's
+    standalone IoU library)."""
+    torch = ref["torch"]
+    import jax.numpy as jnp
+
+    from jabd_tpu.ops import boxes as B
+    from tests.conftest import random_boxes
+
+    bu = _load("ref_box_utils", "utils/box_utils.py")
+    a = random_boxes(rng, 12)
+    b = random_boxes(rng, 12)
+    ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+    for kind, fn in [("iou", bu.bbox_overlaps_iou),
+                     ("giou", bu.bbox_overlaps_giou)]:
+        want = fn(ta, tb).numpy()
+        got = np.asarray(
+            B.iou_pairwise_general(jnp.asarray(a), jnp.asarray(b), kind)
+        )
+        # reference bbox_overlaps_* are ELEMENTWISE (diagonal of pairwise)
+        if want.ndim == 1:
+            got = got.diagonal()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
