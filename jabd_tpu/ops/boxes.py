@@ -158,7 +158,11 @@ def encode(
     g_cxcy = (matched[..., :2] + matched[..., 2:]) / 2 - priors[..., :2]
     g_cxcy = g_cxcy / (variances[0] * priors[..., 2:])
     g_wh = (matched[..., 2:] - matched[..., :2]) / priors[..., 2:]
-    g_wh = jnp.log(g_wh) / variances[1]
+    # Degenerate (zero-area) boxes would give log(0) = -inf; the reference
+    # never sees them only because its dataloader drops sub-pixel boxes
+    # (utils/dataloader.py:143). Clamp for robustness — identical output
+    # for any real box.
+    g_wh = jnp.log(jnp.maximum(g_wh, 1e-12)) / variances[1]
     return jnp.concatenate([g_cxcy, g_wh], axis=-1)
 
 
