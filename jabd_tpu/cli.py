@@ -47,13 +47,17 @@ def _load_predictor(args):
     if args.weights:
         from jabd_tpu.utils.torch_convert import (
             convert_flagship_state_dict,
+            convert_resnet_detector_state_dict,
             load_pth,
         )
 
         if args.weights.endswith(".pth") or args.weights.endswith(".tar"):
-            params, stats = convert_flagship_state_dict(
-                load_pth(args.weights), mcfg
+            convert = (
+                convert_resnet_detector_state_dict
+                if mcfg.backbone.startswith("resnet")
+                else convert_flagship_state_dict
             )
+            params, stats = convert(load_pth(args.weights), mcfg)
             variables = {"params": params, "batch_stats": stats}
         else:  # orbax checkpoint dir
             import orbax.checkpoint as ocp
@@ -127,6 +131,9 @@ def cmd_dir_predict(args):
         if not name.lower().endswith(exts):
             continue
         img = cv2.imread(os.path.join(args.input_dir, name))
+        if img is None:
+            print(f"[skip] unreadable image {name}")
+            continue
         dets = pred.detect_image(img)
         cv2.imwrite(os.path.join(args.out, name), _draw(img, dets))
         print(name, len(dets))
