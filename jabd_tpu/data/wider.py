@@ -83,7 +83,14 @@ def augment_sample(
     paste on a 128-gray canvas, hflip 0.5 with landmark index remap, HSV
     jitter, box clip/filter > 1 px, normalize coords, zero landmarks where
     flag == -1. Returns (float32 HWC image [not mean-subtracted], [M, 15]
-    normalized targets)."""
+    normalized targets).
+
+    Intentional deviation: the reference's upper-bound clip
+    `box[:, cols][box[:, cols] > w] = w` (utils/dataloader.py:138-139)
+    assigns into a fancy-indexed COPY and is therefore a silent no-op —
+    its training boxes can exceed the canvas. We clip for real
+    (np.minimum), which only changes boxes the reference left overflowing.
+    """
     import cv2
     from PIL import Image
 

@@ -224,7 +224,10 @@ def fit(
         )
         state = checkpoint_manager.restore(template)
         start_epoch = max(start_epoch, resumed_epoch)
+        just_resumed = True
         print(f"resumed from checkpoint at epoch {resumed_epoch}")
+    else:
+        just_resumed = False
 
     phase_bounds = [
         (start_epoch, train_cfg.freeze_epochs, train_cfg.lr_freeze, True),
@@ -244,6 +247,11 @@ def fit(
                 rng, model_cfg, train_cfg, steps_per_epoch, lr=lr,
                 freeze_backbone=freeze,
             )
+        elif just_resumed:
+            # Mid-phase resume: the checkpoint's optimizer state (built
+            # for this phase by the resume template) must survive — do
+            # NOT re-init it.
+            just_resumed = False
         else:
             # Fresh optimizer per phase (reference :564,596).
             tx = make_optimizer(
