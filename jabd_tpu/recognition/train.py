@@ -38,10 +38,11 @@ class RecTrainState(struct.PyTreeNode):
 
 
 def _is_bn_param(path) -> bool:
-    """BatchNorm scale/bias and PReLU alphas follow the reference's
-    no-decay group (split_parameters puts all _BatchNorm params there)."""
-    keys = [getattr(k, "key", "") for k in path]
-    return any("bn" in str(k) or k == "alpha" for k in keys)
+    """Only BatchNorm params are in the no-decay group — the reference's
+    split_parameters (train_val.py:225-233) routes every non-BN leaf
+    (including PReLU alphas and biases) into the weight-decay group."""
+    keys = [str(getattr(k, "key", "")) for k in path]
+    return any("bn" in k for k in keys)
 
 
 def make_optimizer(
