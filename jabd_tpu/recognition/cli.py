@@ -1,0 +1,223 @@
+"""Recognition command-line entry points.
+
+Covers the reference's recognition CLIs:
+  * main.py (Lightning trainer entry — broken upstream: empty config.py)
+      -> `python -m jabd_tpu.recognition.cli train ...`
+  * validation_lq/validate_tinyface.py
+      -> `python -m jabd_tpu.recognition.cli tinyface ...`
+  * validation_lq/validate_IJB_S.py (protocol runner over extracted
+    features; template construction is dataset-driven)
+      -> `python -m jabd_tpu.recognition.cli extract ...` then the
+         IJBSTest API (jabd_tpu.recognition.ijbs).
+  * 5-set verification (train_val.py:106-136)
+      -> `python -m jabd_tpu.recognition.cli verify ...`
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_backbone(args):
+    import jax
+    import jax.numpy as jnp
+
+    from jabd_tpu.recognition import build_model
+
+    model = build_model(args.arch)
+    if args.ckpt:
+        if args.ckpt.endswith((".pth", ".tar", ".ckpt")):
+            from jabd_tpu.recognition.torch_convert import (
+                convert_ir_state_dict,
+            )
+            from jabd_tpu.utils.torch_convert import load_pth
+
+            layers = model.num_layers
+            params, stats = convert_ir_state_dict(
+                load_pth(args.ckpt), num_layers=layers, mode=model.mode
+            )
+            variables = {"params": params, "batch_stats": stats}
+        else:
+            import orbax.checkpoint as ocp
+
+            import os
+
+            variables = ocp.StandardCheckpointer().restore(
+                os.path.abspath(args.ckpt)
+            )
+    else:
+        print("[warn] no --ckpt: random init", file=sys.stderr)
+        variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3), jnp.float32)
+        )
+    return model, variables
+
+
+def _load_images(paths, batch_hint=256):
+    import cv2
+    import numpy as np
+
+    from jabd_tpu.recognition.data import normalize_face
+
+    out = np.zeros((len(paths), 112, 112, 3), np.float32)
+    for i, p in enumerate(paths):
+        img = cv2.imread(p)
+        if img is None:
+            raise SystemExit(f"error: cannot read image {p!r}")
+        if img.shape[:2] != (112, 112):
+            img = cv2.resize(img, (112, 112))
+        out[i] = normalize_face(img[:, :, ::-1])  # BGR -> RGB
+    return out
+
+
+def cmd_train(args):
+    import jax
+    import numpy as np
+
+    from jabd_tpu.recognition import build_head, build_model
+    from jabd_tpu.recognition import train as RT
+    from jabd_tpu.recognition.data import (
+        ImageFolderDataset,
+        recognition_train_loader,
+    )
+
+    ds = ImageFolderDataset(args.data_root)
+    model = build_model(args.arch)
+    head = build_head(args.head, class_num=ds.num_classes, m=args.m)
+    steps_per_epoch = max(len(ds) // args.batch_size, 1)
+    state = RT.create_state(
+        jax.random.PRNGKey(args.seed), model, head,
+        num_train_steps_hint=steps_per_epoch * args.epochs, lr=args.lr,
+        milestones=tuple(
+            m * steps_per_epoch for m in args.milestones
+        ),
+    )
+    step = RT.make_train_step(model, head)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(args.epochs):
+        losses, accs = [], []
+        for images, labels in recognition_train_loader(
+            ds, args.batch_size, seed=args.seed + epoch
+        ):
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, images, labels, sub)
+            losses.append(float(m["loss"]))
+            accs.append(float(m["acc"]))
+        print(
+            f"epoch {epoch + 1}/{args.epochs}: "
+            f"loss={np.mean(losses):.4f} acc={np.mean(accs):.4f}"
+        )
+        if args.val_dir:
+            out = RT.validate_5sets(
+                model,
+                {
+                    "params": state.params["model"],
+                    "batch_stats": state.batch_stats["model"],
+                },
+                args.val_dir,
+            )
+            print(json.dumps({k: v for k, v in out.items()}))
+
+
+def cmd_verify(args):
+    from jabd_tpu.recognition import train as RT
+
+    model, variables = _load_backbone(args)
+    out = RT.validate_5sets(model, variables, args.data_dir)
+    print(json.dumps(out))
+
+
+def cmd_tinyface(args):
+    """validate_tinyface.py equivalent: extract flip-TTA features over
+    the protocol's image list and report rank-k accuracy."""
+    from jabd_tpu.recognition import train as RT
+    from jabd_tpu.recognition.tinyface import TinyFaceTest
+
+    model, variables = _load_backbone(args)
+    test = TinyFaceTest(args.tinyface_root, args.alignment_dir)
+    images = _load_images(test.image_paths)
+    feats, _ = RT.extract_embeddings_tta(
+        model, variables, images, batch_size=args.batch_size
+    )
+    res = test.test_identification(feats, ranks=(1, 5, 20))
+    print(json.dumps({f"rank_{k}": v for k, v in res.items()}))
+
+
+def cmd_extract(args):
+    """Feature extraction for IJB-S-scale protocols: writes partitioned
+    .npz features aligned with the input list file
+    (validate_IJB_S.py:59-106)."""
+    import numpy as np
+
+    from jabd_tpu.recognition import train as RT
+
+    with open(args.image_list) as f:
+        paths = [line.strip() for line in f if line.strip()]
+    model, variables = _load_backbone(args)
+    emb, norms = RT.extract_features_partitioned(
+        model,
+        variables,
+        image_loader=lambda i: _load_images([paths[i]])[0],
+        num_images=len(paths),
+        num_partitions=args.partitions,
+        batch_size=args.batch_size,
+        save_dir=args.out_dir,
+    )
+    np.savez(
+        f"{args.out_dir}/features.npz", emb=emb, norm=norms,
+        paths=np.asarray(paths),
+    )
+    print(f"extracted {len(paths)} features -> {args.out_dir}/features.npz")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="jabd_tpu.recognition")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def model_args(sp):
+        sp.add_argument("--arch", default="ir_50")
+        sp.add_argument("--ckpt", default="")
+        sp.add_argument("--batch-size", type=int, default=256)
+
+    sp = sub.add_parser("train")
+    sp.add_argument("--data-root", required=True)
+    sp.add_argument("--arch", default="ir_50")
+    sp.add_argument("--head", default="adaface")
+    sp.add_argument("--m", type=float, default=0.4)
+    sp.add_argument("--lr", type=float, default=0.1)
+    sp.add_argument("--batch-size", type=int, default=256)
+    sp.add_argument("--epochs", type=int, default=26)
+    sp.add_argument("--milestones", type=int, nargs="+",
+                    default=[12, 20, 24])
+    sp.add_argument("--val-dir", default="")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("verify")
+    model_args(sp)
+    sp.add_argument("--data-dir", required=True)
+    sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser("tinyface")
+    model_args(sp)
+    sp.add_argument("--tinyface-root", required=True)
+    sp.add_argument(
+        "--alignment-dir", default="aligned_pad_0.1_pad_high"
+    )
+    sp.set_defaults(fn=cmd_tinyface)
+
+    sp = sub.add_parser("extract")
+    model_args(sp)
+    sp.add_argument("--image-list", required=True)
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--partitions", type=int, default=100)
+    sp.set_defaults(fn=cmd_extract)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -267,3 +267,24 @@ def test_validate_5sets_partial_bundle(ir18, rng, tmp_path):
     out = RT.validate_5sets(model, variables, str(tmp_path), batch_size=4)
     assert set(out) == {"lfw", "calfw", "mean"}
     assert 0.0 <= out["mean"]["val_acc"] <= 1.0
+
+
+def test_recognition_cli_train_smoke(tmp_path, rng, capsys):
+    """End-to-end recognition training CLI over a tiny image-folder tree."""
+    from PIL import Image
+
+    from jabd_tpu.recognition import cli
+
+    for cls in ("a", "b"):
+        d = tmp_path / "data" / cls
+        d.mkdir(parents=True)
+        for i in range(4):
+            arr = rng.integers(0, 255, (112, 112, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.jpg")
+    cli.main([
+        "train", "--data-root", str(tmp_path / "data"),
+        "--arch", "ir_18", "--batch-size", "4", "--epochs", "1",
+        "--lr", "0.01",
+    ])
+    out = capsys.readouterr().out
+    assert "epoch 1/1" in out and "loss=" in out
