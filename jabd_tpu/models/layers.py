@@ -111,9 +111,11 @@ class ConvBN(nn.Module):
         )(x)
         if isinstance(self.act, str):
             return ACTIVATIONS[self.act](x)
-        if self.act and self.act > 0:
-            return jax.nn.leaky_relu(x, negative_slope=self.act)
-        return x
+        # Float act = LeakyReLU(slope). NOTE: slope 0.0 is ReLU, not a
+        # no-op — the reference's conv_bn(leaky=0) for out_channel > 64
+        # builds nn.LeakyReLU(0) (nets/layers.py:10-15,41-43), which IS
+        # ReLU. Use act="none" for genuinely activation-free convs.
+        return jax.nn.leaky_relu(x, negative_slope=float(self.act))
 
 
 # ---------------------------------------------------------------------------
