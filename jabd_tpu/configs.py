@@ -86,6 +86,9 @@ class ModelConfig:
     # FPN top-down upsample: 'nearest' | 'bicubic' (align_corners=True,
     # train_mobilenetV3_ecagai.py:270,279) | 'bilinear'
     fpn_upsample: str = "bicubic"
+    # FPN wiring: 'cascade' (3-level reference) | 'raw152' (FPN_152) |
+    # 'raw152_5' (FPN_152_5) — see models/layers.py FPN docstring.
+    fpn_variant: str = "cascade"
     # Non-local module on the upsampled top-down maps; None disables.
     nlm: Optional[NLMConfig] = dataclasses.field(default_factory=NLMConfig)
     # Anchors per level-cell (every reference config uses 2).
@@ -337,6 +340,7 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
         anchors=CFG_RE50_SELF,
         backbone="resnet50_self",
         backbone_block_attention=None,
+        fpn_variant="raw152_5",  # retinaface50_self.py:95 uses FPN_152_5
         num_levels=4,
         # resnet_pytorch.py:179-186: layer2..5 out channels with the
         # self-mod layer4 at 256 planes (1024 ch) and layer5 at 512 (2048).
@@ -353,6 +357,7 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
         anchors=CFG_RE152,
         backbone="resnet152",
         backbone_block_attention=None,
+        fpn_variant="raw152",  # retinaface_152.py uses FPN_152
         num_levels=4,
         in_channels=(256, 512, 1024, 2048),
         out_channels=256,
@@ -466,6 +471,7 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
         anchors=CFG_RE50_SELF,
         backbone="epsanet50",
         backbone_block_attention=None,
+        fpn_variant="raw152_5",
         num_levels=4,
         in_channels=(512, 1024, 1024, 2048),
         out_channels=256,

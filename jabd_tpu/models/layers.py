@@ -310,11 +310,17 @@ class FPN(nn.Module):
     upsampled map (the CSAF pathway).
 
     3-level reference: nets/layers.py:70-119 (nearest) and the flagship
-    bicubic+NLM version train_mobilenetV3_ecagai.py:231-285. 4-level
-    variants (FPN_152/FPN_152_5, nets/layers.py:172-326) are the same
-    cascade generalized to num_levels laterals; we use the uniform
-    deepest-to-shallowest merge order (FPN_152_5's 2->1, 3->2, 4->3 order
-    telescopes to the same cascade).
+    bicubic+NLM version train_mobilenetV3_ecagai.py:231-285 — the
+    'cascade' variant: each level fuses the MERGED map of the level
+    below, per-level merge convs.
+
+    4-level reference variants use a different (quirky) wiring with ONE
+    shared merge conv (their merge1 is built but dead):
+      * 'raw152'   (FPN_152, nets/layers.py:188-245): level1 fuses the
+        RAW level-2 lateral; level3 fuses level4; level2 fuses the
+        MERGED level3 (the code runs 2->1 before 4->3 before 3->2).
+      * 'raw152_5' (FPN_152_5, nets/layers.py:285-326): every level
+        fuses the RAW lateral of the level below.
 
     upsample: 'nearest' | 'bicubic' (align_corners=True) | 'bilinear'.
     """
@@ -323,7 +329,17 @@ class FPN(nn.Module):
     upsample: str = "nearest"
     nlm_ch: Optional[int] = None
     nlm_psp: Tuple[int, ...] = (1, 3, 6, 8)
+    variant: str = "cascade"  # 'cascade' | 'raw152' | 'raw152_5'
     dtype: Dtype = jnp.float32
+
+    def _up(self, x, like, nlm):
+        up = R.resize(
+            x,
+            (like.shape[1], like.shape[2]),
+            mode=self.upsample,
+            align_corners=True,
+        )
+        return nlm(up) if nlm is not None else up
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = False):
@@ -344,26 +360,36 @@ class FPN(nn.Module):
             if self.nlm_ch is not None
             else None
         )
-        outs = [None] * n
-        outs[n - 1] = laterals[n - 1]
-        for i in range(n - 2, -1, -1):
-            up = R.resize(
-                outs[i + 1],
-                (laterals[i].shape[1], laterals[i].shape[2]),
-                mode=self.upsample,
-                align_corners=True,
-            )
-            if nlm is not None:
-                up = nlm(up)
-            merged = laterals[i] + up
-            outs[i] = ConvBN(
-                self.out_channels,
-                3,
-                act=leaky,
-                dtype=self.dtype,
-                name=f"merge{i + 1}",
-            )(merged, train)
-        return outs
+
+        if self.variant == "cascade":
+            outs = [None] * n
+            outs[n - 1] = laterals[n - 1]
+            for i in range(n - 2, -1, -1):
+                up = self._up(outs[i + 1], laterals[i], nlm)
+                outs[i] = ConvBN(
+                    self.out_channels,
+                    3,
+                    act=leaky,
+                    dtype=self.dtype,
+                    name=f"merge{i + 1}",
+                )(laterals[i] + up, train)
+            return outs
+
+        assert n == 4, f"{self.variant} is the 4-level reference wiring"
+        merge = ConvBN(
+            self.out_channels, 3, act=leaky, dtype=self.dtype,
+            name="merge_shared",
+        )
+        l1, l2, l3, l4 = laterals
+        o1 = merge(l1 + self._up(l2, l1, nlm), train)
+        o3 = merge(l3 + self._up(l4, l3, nlm), train)
+        if self.variant == "raw152":
+            o2 = merge(l2 + self._up(o3, l2, nlm), train)  # merged l3
+        elif self.variant == "raw152_5":
+            o2 = merge(l2 + self._up(l3, l2, nlm), train)  # raw l3
+        else:
+            raise ValueError(f"unknown FPN variant {self.variant!r}")
+        return [o1, o2, o3, l4]
 
 
 # ---------------------------------------------------------------------------

@@ -115,6 +115,7 @@ class RetinaFace(nn.Module):
             upsample=cfg.fpn_upsample,
             nlm_ch=cfg.nlm.ch if cfg.nlm else None,
             nlm_psp=cfg.nlm.psp_sizes if cfg.nlm else (1, 3, 6, 8),
+            variant=cfg.fpn_variant,
             dtype=dtype,
             name="fpn",
         )(taps, train)

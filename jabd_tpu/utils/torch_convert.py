@@ -163,9 +163,15 @@ def _convert_common(
     for i in range(cfg.num_levels):
         _convbn(params, stats, sd, f"fpn.output{i + 1}.0",
                 f"fpn.output{i + 1}.1", ("fpn", f"output{i + 1}"))
-    for i in range(cfg.num_levels - 1):
-        _convbn(params, stats, sd, f"fpn.merge{i + 1}.0",
-                f"fpn.merge{i + 1}.1", ("fpn", f"merge{i + 1}"))
+    if cfg.fpn_variant == "cascade":
+        for i in range(cfg.num_levels - 1):
+            _convbn(params, stats, sd, f"fpn.merge{i + 1}.0",
+                    f"fpn.merge{i + 1}.1", ("fpn", f"merge{i + 1}"))
+    else:
+        # FPN_152/FPN_152_5 share one live merge conv named merge2
+        # (their merge1 is dead — nets/layers.py:184-185,240,305).
+        _convbn(params, stats, sd, "fpn.merge2.0", "fpn.merge2.1",
+                ("fpn", "merge_shared"))
     if cfg.nlm is not None:
         for name in ("f_query", "f_key", "f_value", "W"):
             _conv_with_bias(params, sd, f"fpn.nlm.{name}",

@@ -153,3 +153,83 @@ def test_re50_eca_nonlocal_parity(rng):
             )
     finally:
         RN.RESNET_SPECS["resnet50"] = old
+
+
+class TFPN152(nn.Module):
+    """Exact FPN_152 wiring (nets/layers.py:172-245): shared merge2, dead
+    merge1; order 2->1 (raw), 4->3, 3->2 (merged l3)."""
+
+    def __init__(self, in_list, out):
+        super().__init__()
+        leaky = 0.1 if out <= 64 else 0.0
+        self.output1 = _conv_bn(in_list[0], out, 1, 1, leaky)
+        self.output2 = _conv_bn(in_list[1], out, 1, 1, leaky)
+        self.output3 = _conv_bn(in_list[2], out, 1, 1, leaky)
+        self.output4 = _conv_bn(in_list[3], out, 1, 1, leaky)
+        self.merge1 = _conv_bn(out, out, 3, 1, leaky)  # dead
+        self.merge2 = _conv_bn(out, out, 3, 1, leaky)
+
+    def forward(self, inputs):
+        o1 = self.output1(inputs[0])
+        o2 = self.output2(inputs[1])
+        o3 = self.output3(inputs[2])
+        o4 = self.output4(inputs[3])
+        up2 = F.interpolate(o2, size=o1.shape[2:], mode="nearest")
+        o1 = self.merge2(o1 + up2)
+        up4 = F.interpolate(o4, size=o3.shape[2:], mode="nearest")
+        o3 = self.merge2(o3 + up4)
+        up3 = F.interpolate(o3, size=o2.shape[2:], mode="nearest")
+        o2 = self.merge2(o2 + up3)
+        return [o1, o2, o3, o4]
+
+
+def test_fpn152_variant_parity(rng):
+    from jabd_tpu.models import layers as L
+    from jabd_tpu.utils.torch_convert import conv2d_w
+
+    torch.manual_seed(0)
+    in_list = [32, 48, 64, 80]
+    tfpn = TFPN152(in_list, 64).eval()
+    _randomize_bn(tfpn)
+    sd = {k: v.detach().numpy() for k, v in tfpn.state_dict().items()}
+
+    params, stats = {}, {}
+
+    def put(tname, fname):
+        params[fname] = {
+            "conv": {"kernel": conv2d_w(sd[f"{tname}.0.weight"])},
+            "bn": {"scale": sd[f"{tname}.1.weight"],
+                   "bias": sd[f"{tname}.1.bias"]},
+        }
+        stats[fname] = {
+            "bn": {"mean": sd[f"{tname}.1.running_mean"],
+                   "var": sd[f"{tname}.1.running_var"]}
+        }
+
+    for i in range(4):
+        put(f"output{i + 1}", f"output{i + 1}")
+    put("merge2", "merge_shared")
+
+    fpn = L.FPN(out_channels=64, upsample="nearest", variant="raw152")
+    sizes = [(16, 16), (8, 8), (4, 4), (2, 2)]
+    xs = [
+        rng.normal(0, 1, (1, *s, c)).astype(np.float32)
+        for s, c in zip(sizes, in_list)
+    ]
+    with torch.no_grad():
+        want = tfpn([
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))) for x in xs
+        ])
+    got = fpn.apply(
+        {"params": params, "batch_stats": stats},
+        [jnp.asarray(x) for x in xs],
+        train=False,
+    )
+    for i, (jv, tv) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(jv),
+            np.transpose(tv.numpy(), (0, 2, 3, 1)),
+            rtol=5e-3,
+            atol=1e-4,
+            err_msg=f"level {i}",
+        )
