@@ -1,0 +1,224 @@
+"""Direct parity against the reference's ACTUAL backbone/block modules
+(imported read-only from /root/reference, torch CPU): the flagship
+MobileNetV3_Large_eca backbone, MobileNetV1-0.25 stages, the SSH module,
+and the EPSA PSAModule (reversed-concat quirk included). Skipped when the
+reference tree isn't mounted."""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+REF_ROOT = "/root/reference/JABD2080ti"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference tree not mounted"
+)
+
+torch = pytest.importorskip("torch")
+
+
+def _load(name, rel):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF_ROOT, rel)
+    )
+    m = importlib.util.module_from_spec(spec)
+    sys.modules[name] = m
+    spec.loader.exec_module(m)
+    return m
+
+
+def _randomize_bn(model, seed=1):
+    import torch.nn as nn
+
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean = (
+                torch.randn(m.running_mean.shape, generator=g) * 0.1
+            )
+            m.running_var = (
+                torch.rand(m.running_var.shape, generator=g) * 0.5 + 0.75
+            )
+
+
+def _nchw(x):
+    return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+
+def _nhwc(t):
+    return np.transpose(t.numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.slow
+def test_mnv3_large_eca_backbone_parity(rng):
+    """The flagship backbone itself: reference MobileNetV3_Large_eca
+    (nets/mobilenetV3.py:452-522) taps layer1/2/3 vs MobileNetV3Backbone
+    with converter-mapped weights."""
+    mv3 = _load("ref_mnv3", "nets/mobilenetV3.py")
+    tb = mv3.MobileNetV3_Large_eca().eval()
+    _randomize_bn(tb)
+    sd = {
+        "body." + k: v.detach().numpy() for k, v in tb.state_dict().items()
+    }
+
+    import dataclasses
+
+    from jabd_tpu import configs
+    from jabd_tpu.models.mobilenet import (
+        MNV3_LARGE_3STAGE,
+        MobileNetV3Backbone,
+    )
+    from jabd_tpu.utils.torch_convert import convert_flagship_state_dict
+
+    cfg = configs.get_model_config("jabd_flagship")
+    params, stats = convert_flagship_state_dict(sd, cfg)
+
+    backbone = MobileNetV3Backbone(
+        stages=tuple(tuple(s) for s in MNV3_LARGE_3STAGE),
+        block_attention="eca",
+    )
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        h = tb.hs1(tb.bn1(tb.conv1(_nchw(x))))
+        t1 = tb.layer1(h)
+        t2 = tb.layer2(t1)
+        t3 = tb.layer3(t2)
+    j1, j2, j3 = jax.jit(lambda v, i: backbone.apply(v, i, train=False))(
+        {
+            "params": params["backbone"],
+            "batch_stats": stats["backbone"],
+        },
+        jnp.asarray(x),
+    )
+    for name, tv, jv in [("l1", t1, j1), ("l2", t2, j2), ("l3", t3, j3)]:
+        np.testing.assert_allclose(
+            np.asarray(jv), _nhwc(tv), rtol=5e-3, atol=5e-4, err_msg=name
+        )
+
+
+def test_mobilenet_v1_025_parity(rng):
+    """nets/mobilenet025.py MobileNetV1 stage1/2/3 vs MobileNetV1Backbone."""
+    m025 = _load("ref_m025", "nets/mobilenet025.py")
+    tb = m025.MobileNetV1().eval()
+    _randomize_bn(tb)
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+
+    from jabd_tpu.models.mobilenet import MobileNetV1Backbone
+    from jabd_tpu.utils.torch_convert import conv2d_w
+
+    # stage1 = [conv_bn, dw*5], stage2 = dw*6, stage3 = dw*2; torch names
+    # stage{S}.{i}.{j}.weight with conv_bn = (conv, bn, lrelu) and
+    # conv_dw = (dwconv, bn, lrelu, pwconv, bn, lrelu).
+    params, stats = {}, {}
+
+    def put_convbn(prefix_conv, prefix_bn, fname):
+        params[fname] = {
+            "conv": {"kernel": conv2d_w(sd[prefix_conv + ".weight"])},
+            "bn": {"scale": sd[prefix_bn + ".weight"],
+                   "bias": sd[prefix_bn + ".bias"]},
+        }
+        stats[fname] = {
+            "bn": {"mean": sd[prefix_bn + ".running_mean"],
+                   "var": sd[prefix_bn + ".running_var"]}
+        }
+
+    put_convbn("stage1.0.0", "stage1.0.1", "stem")
+    dw_idx = 0
+    for stage, count in (("stage1", 5), ("stage2", 6), ("stage3", 2)):
+        start = 1 if stage == "stage1" else 0
+        for i in range(start, start + count):
+            put_convbn(f"{stage}.{i}.0", f"{stage}.{i}.1",
+                       f"dw{dw_idx}_depth")
+            put_convbn(f"{stage}.{i}.3", f"{stage}.{i}.4",
+                       f"dw{dw_idx}_point")
+            dw_idx += 1
+
+    backbone = MobileNetV1Backbone()
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t1 = tb.stage1(_nchw(x))
+        t2 = tb.stage2(t1)
+        t3 = tb.stage3(t2)
+    j1, j2, j3 = jax.jit(lambda v, i: backbone.apply(v, i, train=False))(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x)
+    )
+    for name, tv, jv in [("s1", t1, j1), ("s2", t2, j2), ("s3", t3, j3)]:
+        np.testing.assert_allclose(
+            np.asarray(jv), _nhwc(tv), rtol=5e-3, atol=5e-4, err_msg=name
+        )
+
+
+def test_ssh_parity(rng):
+    """nets/layers.py SSH vs models.layers.SSH with converted weights."""
+    layers = _load("ref_layers", "nets/layers.py")
+    tssh = layers.SSH(64, 64).eval()
+    _randomize_bn(tssh)
+    sd = {"ssh1." + k: v.detach().numpy() for k, v in tssh.state_dict().items()}
+
+    import dataclasses
+
+    from jabd_tpu import configs
+    from jabd_tpu.models.layers import SSH
+    from jabd_tpu.utils.torch_convert import _convbn
+
+    params, stats = {}, {}
+    for tname, fname in [
+        ("conv3X3", "conv3x3"),
+        ("conv5X5_1", "conv5x5_1"),
+        ("conv5X5_2", "conv5x5_2"),
+        ("conv7X7_2", "conv7x7_2"),
+        ("conv7x7_3", "conv7x7_3"),
+    ]:
+        _convbn(params, stats, sd, f"ssh1.{tname}.0", f"ssh1.{tname}.1",
+                ("ssh1", fname))
+
+    ssh = SSH(out_channels=64)
+    x = rng.normal(0, 1, (1, 8, 8, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tssh(_nchw(x))
+    got = ssh.apply(
+        {"params": params["ssh1"], "batch_stats": stats["ssh1"]},
+        jnp.asarray(x),
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), _nhwc(want), rtol=5e-3, atol=5e-4
+    )
+
+
+def test_psa_module_parity(rng):
+    """nets/EPSA50.py PSAModule (multi-kernel grouped convs + SE-softmax
+    fusion, REVERSED recombine order) vs models.epsa.PSAModule."""
+    epsa = _load("ref_epsa", "nets/EPSA50.py")
+    tpsa = epsa.PSAModule(64, 64).eval()
+    _randomize_bn(tpsa)
+    sd = {k: v.detach().numpy() for k, v in tpsa.state_dict().items()}
+
+    from jabd_tpu.models.epsa import PSAModule
+    from jabd_tpu.utils.torch_convert import conv2d_w
+
+    params = {}
+    for i in range(1, 5):
+        params[f"conv_{i}"] = {
+            "kernel": conv2d_w(sd[f"conv_{i}.weight"])
+        }
+    params["se"] = {
+        "fc1": {"kernel": conv2d_w(sd["se.fc1.weight"]),
+                "bias": sd["se.fc1.bias"]},
+        "fc2": {"kernel": conv2d_w(sd["se.fc2.weight"]),
+                "bias": sd["se.fc2.bias"]},
+    }
+
+    psa = PSAModule(planes=64)
+    x = rng.normal(0, 1, (1, 8, 8, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tpsa(_nchw(x))
+    got = psa.apply({"params": params}, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(got), _nhwc(want), rtol=5e-3, atol=5e-4
+    )
