@@ -17,6 +17,9 @@ from jabd_tpu.models import build_model
 from jabd_tpu.predict import Predictor
 from tests.test_eval import _fake_gt_dir
 
+pytestmark = pytest.mark.slow  # compile-heavy module
+
+
 
 @pytest.mark.slow
 def test_map_txt_to_evaluation(tmp_path, rng):

@@ -15,6 +15,9 @@ from jabd_tpu.ops import anchors as A
 from jabd_tpu.parallel import mesh as M
 from jabd_tpu.predict import detect_batch
 from tests.conftest import random_boxes
+
+pytestmark = pytest.mark.slow  # compile-heavy module
+
 from tests.test_data import wider_tree  # noqa: F401  (fixture)
 
 SIZE = 64

@@ -13,6 +13,9 @@ from jabd_tpu.models import build_model
 from jabd_tpu.models import layers as L
 from jabd_tpu.ops import anchors as A
 
+pytestmark = pytest.mark.slow  # compile-heavy module
+
+
 
 def _init_and_run(cfg, image_size=128, mode="train", batch=1):
     import functools

@@ -12,6 +12,9 @@ from jabd_tpu import configs
 from jabd_tpu.models import build_model
 from jabd_tpu.predict import Predictor
 
+pytestmark = pytest.mark.slow  # compile-heavy module
+
+
 
 @pytest.fixture(scope="module")
 def predictor():

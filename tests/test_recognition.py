@@ -14,6 +14,9 @@ from jabd_tpu.recognition import train as RT
 from jabd_tpu.recognition import verification as V
 from jabd_tpu.recognition.net import IRBackbone
 
+pytestmark = pytest.mark.slow  # compile-heavy module
+
+
 
 @pytest.fixture(scope="module")
 def ir18():

@@ -15,6 +15,9 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.slow  # compile-heavy module
+
 import torch.nn as nn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402
 

@@ -13,6 +13,9 @@ from jabd_tpu.ops import anchors as A
 from jabd_tpu.parallel import mesh as M
 from tests.conftest import random_boxes
 
+pytestmark = pytest.mark.slow  # compile-heavy module
+
+
 SIZE = 64
 
 

@@ -14,6 +14,9 @@ from jabd_tpu.ops import anchors as A
 from jabd_tpu.ops import nms as N
 from tests.conftest import random_boxes
 
+pytestmark = pytest.mark.slow  # compile-heavy module
+
+
 
 def test_soft_nms_decays_overlaps():
     boxes = np.asarray(
