@@ -55,6 +55,7 @@ def smooth_l1(x: jnp.ndarray) -> jnp.ndarray:
         "neg_pos_ratio",
         "variances",
         "box_loss",
+        "matching_impl",
     ),
 )
 def multibox_loss(
@@ -65,13 +66,27 @@ def multibox_loss(
     neg_pos_ratio: int = 7,
     variances: Tuple[float, float] = (0.1, 0.2),
     box_loss: str = "smooth_l1",  # or 'diou'
+    matching_impl: str = "auto",  # 'auto' | 'xla' | 'pallas'
 ) -> Dict[str, jnp.ndarray]:
     """Returns dict(loss_l, loss_c, loss_landm) — the three normalized
     terms the train scripts combine as loc_weight*l + c + landm."""
     loc_data, conf_data, landm_data = predictions
     bsz, num_priors = conf_data.shape[:2]
 
-    m = matching.match_batch(
+    if matching_impl == "auto":
+        matching_impl = (
+            "pallas" if jax.default_backend() == "tpu" else "xla"
+        )
+    if matching_impl == "pallas":
+        # O(P)-memory fused kernel with valid-prefix early exit — faster
+        # than the dense [B, G, P] path at real GT densities and saves
+        # the 0.5 GB overlap tensor (see ops/matching_pallas.py).
+        from jabd_tpu.ops.matching_pallas import match_batch_pallas
+
+        match_fn = match_batch_pallas
+    else:
+        match_fn = matching.match_batch
+    m = match_fn(
         overlap_threshold,
         targets.boxes,
         priors,

@@ -80,6 +80,36 @@ def match_single(
     best_truth_overlap = jnp.max(overlaps, axis=0)  # [P]
     best_truth_idx = jnp.argmax(overlaps, axis=0)  # [P]
 
+    return finish_match(
+        threshold,
+        best_truth_overlap,
+        best_truth_idx,
+        best_prior_idx,
+        truths,
+        priors,
+        variances,
+        labels,
+        landms,
+        valid,
+    )
+
+
+def finish_match(
+    threshold: float,
+    best_truth_overlap: jnp.ndarray,  # [P]
+    best_truth_idx: jnp.ndarray,  # [P]
+    best_prior_idx: jnp.ndarray,  # [G]
+    truths: jnp.ndarray,
+    priors: jnp.ndarray,
+    variances: Tuple[float, float],
+    labels: jnp.ndarray,
+    landms: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> MatchResult:
+    """Forced-match + threshold + encode tail, shared by the XLA and
+    Pallas front halves."""
+    num_gt = truths.shape[0]
+    num_priors = priors.shape[0]
     # Forced best-prior match. The reference loop `for j:
     # best_truth_idx[best_prior_idx[j]] = j` lets the LAST valid j win on
     # conflicts; a scatter-max of GT indices reproduces that exactly (max

@@ -158,3 +158,36 @@ def test_match_batch_vmap(rng):
         _, want_conf, _ = np_match(0.35, np.ascontiguousarray(t), priors, VAR,
                                    np.ascontiguousarray(l), np.ascontiguousarray(lm))
         np.testing.assert_array_equal(np.asarray(out.conf_t)[i], want_conf)
+
+
+def test_pallas_matching_interpret_parity(rng):
+    """ops/matching_pallas.py must produce bit-identical MatchResults to
+    the XLA path (interpret mode on CPU; TPU parity verified on-device)."""
+    import jax.numpy as jnp2
+
+    from jabd_tpu.ops.matching_pallas import match_batch_pallas
+
+    priors, truths, labels, landms = _random_problem(rng, 7)
+    bsz = 2
+    b_truths = np.stack([truths, truths[::-1].copy()])
+    b_labels = np.stack([labels, labels[::-1].copy()])
+    b_landms = np.stack([landms, landms[::-1].copy()])
+    valid = np.zeros((bsz, 7), bool)
+    valid[0, :7] = True
+    valid[1, :3] = True
+    args = (
+        0.35,
+        jnp2.asarray(b_truths),
+        jnp2.asarray(priors),
+        (0.1, 0.2),
+        jnp2.asarray(b_labels),
+        jnp2.asarray(b_landms),
+        jnp2.asarray(valid),
+    )
+    want = matching.match_batch(*args)
+    got = match_batch_pallas(*args, interpret=True)
+    for f in ("conf_t", "loc_t", "landm_t", "box_t"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+            err_msg=f,
+        )
