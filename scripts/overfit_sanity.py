@@ -10,6 +10,12 @@ with zero false positives after 400 steps.
 """
 
 import functools
+import os
+import sys
+
+# Runnable as `python scripts/overfit_sanity.py` without installing the
+# package: sys.path[0] is scripts/, so add the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
