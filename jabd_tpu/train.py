@@ -266,27 +266,38 @@ def fit(
 
         for epoch in range(first, last):
             t0 = time.time()
-            epoch_loss = 0.0
-            nsteps = 0
-            for images, (boxes, labels, landms, valid) in train_loader(
+            step_losses = []  # device arrays — no per-step host sync
+            batches = train_loader(
                 dataset,
                 train_cfg.batch_size,
                 max_targets=train_cfg.max_targets,
                 seed=train_cfg.seed + epoch,
-            ):
-                batch = M.shard_batch(
-                    (images.astype(np.float32), boxes, labels, landms, valid),
-                    mesh,
+            )
+
+            def to_batch(item):
+                images, (boxes, labels, landms, valid) = item
+                return (
+                    images.astype(np.float32), boxes, labels, landms, valid,
                 )
+
+            # Prefetch keeps host augmentation + H2D transfer overlapped
+            # with device compute (the DataLoader pin_memory/num_workers
+            # analog); per-step losses stay on device — a host sync per
+            # step costs a full RTT on remote-attached TPUs.
+            for batch in M.prefetch_to_device(
+                map(to_batch, batches), mesh, depth=2
+            ):
                 images_d, boxes_d, labels_d, landms_d, valid_d = batch
                 targets = losses.Targets(
                     boxes=boxes_d, labels=labels_d, landms=landms_d,
                     valid=valid_d,
                 )
                 state, metrics = step_fn(state, images_d, targets, anchors)
-                epoch_loss += float(metrics["loss"])
-                nsteps += 1
-            mean_loss = epoch_loss / max(nsteps, 1)
+                step_losses.append(metrics["loss"])
+            nsteps = len(step_losses)
+            mean_loss = (
+                float(jnp.mean(jnp.stack(step_losses))) if nsteps else 0.0
+            )
             history.append_loss(mean_loss)
             print(
                 f"epoch {epoch + 1}/{last} loss={mean_loss:.4f} "
