@@ -95,19 +95,22 @@ def cmd_train(args):
         ),
     )
     step = RT.make_train_step(model, head)
+    import jax.numpy as jnp
+
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.epochs):
-        losses, accs = [], []
+        losses, accs = [], []  # device arrays; sync once per epoch
         for images, labels in recognition_train_loader(
             ds, args.batch_size, seed=args.seed + epoch
         ):
             rng, sub = jax.random.split(rng)
             state, m = step(state, images, labels, sub)
-            losses.append(float(m["loss"]))
-            accs.append(float(m["acc"]))
+            losses.append(m["loss"])
+            accs.append(m["acc"])
         print(
             f"epoch {epoch + 1}/{args.epochs}: "
-            f"loss={np.mean(losses):.4f} acc={np.mean(accs):.4f}"
+            f"loss={float(jnp.mean(jnp.stack(losses))):.4f} "
+            f"acc={float(jnp.mean(jnp.stack(accs))):.4f}"
         )
         if args.val_dir:
             out = RT.validate_5sets(
