@@ -70,6 +70,14 @@ def main() -> None:
         head["bias"] = jnp.tile(
             jnp.asarray([2.0, -2.0], head["bias"].dtype), 2
         )
+    # Eval graph: fold BN into conv weights and pre-cast to bf16 (same
+    # values the runtime cast would produce, half the HBM weight traffic).
+    from jabd_tpu.models.fold import fold_batchnorm
+
+    variables = fold_batchnorm(
+        variables,
+        cast=jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else None,
+    )
     anchors = jnp.asarray(A.generate_anchors(mcfg.anchors, (size, size)))
 
     apply_fn = functools.partial(model.apply)

@@ -92,23 +92,31 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.kernel // 2
+        # Folded-BN eval graphs (models/fold.py) merge the BatchNorm into
+        # the conv kernel + a bias; their param trees have no "bn" entry.
+        # Detect that at apply time so no flag needs threading through
+        # every backbone/neck constructor.
+        folded = not self.is_initializing() and not self.has_variable(
+            "params", "bn"
+        )
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
             feature_group_count=self.groups,
-            use_bias=False,
+            use_bias=folded,
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name="bn",
-        )(x)
+        if not folded:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
         if isinstance(self.act, str):
             return ACTIVATIONS[self.act](x)
         # Float act = LeakyReLU(slope). NOTE: slope 0.0 is ReLU, not a
@@ -181,15 +189,19 @@ class SEModule(nn.Module):
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         e = max(c // self.reduction, 8)
+        folded = not self.is_initializing() and not self.has_variable(
+            "params", "bn"
+        )
         y = jnp.mean(x, axis=(1, 2), keepdims=True)  # [B,1,1,C]
-        y = nn.Conv(e, (1, 1), use_bias=False, dtype=self.dtype, name="fc1")(y)
-        y = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name="bn",
-        )(y)
+        y = nn.Conv(e, (1, 1), use_bias=folded, dtype=self.dtype, name="fc1")(y)
+        if not folded:
+            y = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(y)
         y = jax.nn.relu(y)
         y = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name="fc2")(y)
         return x * hsigmoid(y)
@@ -305,6 +317,36 @@ class SSH(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class PixelShuffleUp(nn.Module):
+    """Learned sub-pixel upsample: conv 3x3 -> C*r^2, then depth-to-space.
+
+    The pixelshuffle upsample option sketched in the reference ablation
+    grid (train_all_bicubic.py:231-271: conv_layer + nn.PixelShuffle,
+    built but commented out of forward). Channel order matches torch
+    PixelShuffle: out[b, h*r+i, w*r+j, c] = in[b, h, w, c*r*r + i*r + j].
+    """
+
+    out_channels: int
+    factor: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.factor
+        y = nn.Conv(
+            self.out_channels * r * r,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        b, h, w, _ = y.shape
+        y = y.reshape(b, h, w, self.out_channels, r, r)
+        y = y.transpose(0, 1, 4, 2, 5, 3)  # [B, H, r, W, r, C]
+        return y.reshape(b, h * r, w * r, self.out_channels)
+
+
 class FPN(nn.Module):
     """Top-down feature pyramid with optional per-step NLM on the
     upsampled map (the CSAF pathway).
@@ -322,7 +364,10 @@ class FPN(nn.Module):
       * 'raw152_5' (FPN_152_5, nets/layers.py:285-326): every level
         fuses the RAW lateral of the level below.
 
-    upsample: 'nearest' | 'bicubic' (align_corners=True) | 'bilinear'.
+    upsample: 'nearest' | 'bicubic' (align_corners=True) | 'bilinear'
+    | 'pixelshuffle' (learned sub-pixel conv, shared across levels like
+    the reference's shared nlm; the x2 output is cropped to the target
+    grid for odd-sized levels).
     """
 
     out_channels: int
@@ -332,13 +377,17 @@ class FPN(nn.Module):
     variant: str = "cascade"  # 'cascade' | 'raw152' | 'raw152_5'
     dtype: Dtype = jnp.float32
 
-    def _up(self, x, like, nlm):
-        up = R.resize(
-            x,
-            (like.shape[1], like.shape[2]),
-            mode=self.upsample,
-            align_corners=True,
-        )
+    def _up(self, x, like, nlm, pix=None):
+        th, tw = like.shape[1], like.shape[2]
+        if pix is not None:
+            up = pix(x)[:, :th, :tw, :]
+            assert up.shape[1] == th and up.shape[2] == tw, (
+                f"pixelshuffle x2 {x.shape} cannot reach {like.shape}"
+            )
+        else:
+            up = R.resize(
+                x, (th, tw), mode=self.upsample, align_corners=True
+            )
         return nlm(up) if nlm is not None else up
 
     @nn.compact
@@ -360,12 +409,17 @@ class FPN(nn.Module):
             if self.nlm_ch is not None
             else None
         )
+        pix = (
+            PixelShuffleUp(self.out_channels, dtype=self.dtype, name="pix")
+            if self.upsample == "pixelshuffle"
+            else None
+        )
 
         if self.variant == "cascade":
             outs = [None] * n
             outs[n - 1] = laterals[n - 1]
             for i in range(n - 2, -1, -1):
-                up = self._up(outs[i + 1], laterals[i], nlm)
+                up = self._up(outs[i + 1], laterals[i], nlm, pix)
                 outs[i] = ConvBN(
                     self.out_channels,
                     3,
@@ -381,12 +435,12 @@ class FPN(nn.Module):
             name="merge_shared",
         )
         l1, l2, l3, l4 = laterals
-        o1 = merge(l1 + self._up(l2, l1, nlm), train)
-        o3 = merge(l3 + self._up(l4, l3, nlm), train)
+        o1 = merge(l1 + self._up(l2, l1, nlm, pix), train)
+        o3 = merge(l3 + self._up(l4, l3, nlm, pix), train)
         if self.variant == "raw152":
-            o2 = merge(l2 + self._up(o3, l2, nlm), train)  # merged l3
+            o2 = merge(l2 + self._up(o3, l2, nlm, pix), train)  # merged l3
         elif self.variant == "raw152_5":
-            o2 = merge(l2 + self._up(l3, l2, nlm), train)  # raw l3
+            o2 = merge(l2 + self._up(l3, l2, nlm, pix), train)  # raw l3
         else:
             raise ValueError(f"unknown FPN variant {self.variant!r}")
         return [o1, o2, o3, l4]

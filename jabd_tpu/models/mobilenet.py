@@ -102,13 +102,18 @@ class MNV3Block(nn.Module):
                 self.out, (1, 1), use_bias=True, dtype=self.dtype,
                 name="skip_pw",
             )(skip)
-            skip = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=self.dtype,
-                name="skip_pw_bn",
-            )(skip)
+            # Folded eval graphs (models/fold.py) merge this BN into
+            # skip_pw's kernel/bias and drop the "skip_pw_bn" params.
+            if self.is_initializing() or self.has_variable(
+                "params", "skip_pw_bn"
+            ):
+                skip = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    name="skip_pw_bn",
+                )(skip)
         elif self.stride == 2 and self.in_size == self.out:
             skip = ConvBN(
                 self.out,

@@ -128,9 +128,23 @@ class Predictor:
         variables,
         predict_cfg: Optional[configs.PredictConfig] = None,
         use_pallas: Optional[bool] = None,
+        fold_bn: bool = True,
     ):
         self.mcfg = model_cfg
         self.pcfg = predict_cfg or configs.PredictConfig()
+        if fold_bn:
+            # Eval-only graph: fold BN into conv weights (models/fold.py).
+            # For bf16-compute presets, pre-cast the folded weights — the
+            # values are identical to Flax's runtime param cast, but HBM
+            # reads half the bytes per step.
+            from jabd_tpu.models.fold import fold_batchnorm
+
+            cast = (
+                jnp.bfloat16
+                if model_cfg.compute_dtype == "bfloat16"
+                else None
+            )
+            variables = fold_batchnorm(variables, cast=cast)
         self.variables = variables
         self.model = build_model(model_cfg, mode="eval")
         self.use_pallas = (
