@@ -141,8 +141,22 @@ def cmd_tinyface(args):
     model, variables = _load_backbone(args)
     test = TinyFaceTest(args.tinyface_root, args.alignment_dir)
     images = _load_images(test.image_paths)
+    faceness = None
+    if args.faceness_scores:
+        import numpy as np
+
+        faceness = np.load(args.faceness_scores)
+        assert len(faceness) == len(test.image_paths), (
+            "faceness scores must align with the protocol image list"
+        )
     feats, _ = RT.extract_embeddings_tta(
-        model, variables, images, batch_size=args.batch_size
+        model,
+        variables,
+        images,
+        batch_size=args.batch_size,
+        fusion_method=args.fusion_method,
+        use_flip_test=not args.no_flip_test,
+        faceness_scores=faceness,
     )
     res = test.test_identification(feats, ranks=(1, 5, 20))
     print(json.dumps({f"rank_{k}": v for k, v in res.items()}))
@@ -173,6 +187,33 @@ def cmd_extract(args):
         paths=np.asarray(paths),
     )
     print(f"extracted {len(paths)} features -> {args.out_dir}/features.npz")
+
+
+def cmd_ijbs(args):
+    """validate_IJB_S.py equivalent: features.npz (from `extract`) +
+    the cs6 protocol directory -> all five IJB-S protocol metrics."""
+    import numpy as np
+
+    from jabd_tpu.recognition.ijbs_proto import IJBSProtocol
+
+    data = np.load(args.features, allow_pickle=True)
+    emb, norm = data["emb"], data["norm"]
+    paths = [str(p) for p in data["paths"]]
+    proto = IJBSProtocol.from_protocol_dir(args.protocol_dir)
+    proto.initialize_indices(paths)
+    test = proto.build_test(
+        emb, norm, fuse_match_method=args.fuse_match_method
+    )
+    out = {}
+    for name, (closed, open_) in test.run_all().items():
+        out[name] = {
+            "rank1": float(closed[0]),
+            "rank5": float(closed[1]),
+            "rank10": float(closed[2]),
+            "dir_far_0.01": float(open_[0]),
+            "dir_far_0.1": float(open_[1]),
+        }
+    print(json.dumps(out, indent=2))
 
 
 def main(argv=None):
@@ -209,6 +250,25 @@ def main(argv=None):
     sp.add_argument(
         "--alignment-dir", default="aligned_pad_0.1_pad_high"
     )
+    # validate_tinyface.py:127-128 flags.
+    sp.add_argument(
+        "--fusion-method",
+        default="pre_norm_vector_add",
+        choices=(
+            "average",
+            "norm_weighted_avg",
+            "pre_norm_vector_add",
+            "concat",
+            "faceness_score",
+        ),
+    )
+    sp.add_argument("--no-flip-test", action="store_true")
+    sp.add_argument(
+        "--faceness-scores",
+        default="",
+        help=".npy of per-image detector scores aligned with the "
+        "protocol image list (required for faceness_score fusion)",
+    )
     sp.set_defaults(fn=cmd_tinyface)
 
     sp = sub.add_parser("extract")
@@ -217,6 +277,22 @@ def main(argv=None):
     sp.add_argument("--out-dir", required=True)
     sp.add_argument("--partitions", type=int, default=100)
     sp.set_defaults(fn=cmd_extract)
+
+    sp = sub.add_parser("ijbs")
+    sp.add_argument(
+        "--features", required=True,
+        help="features.npz from `extract` (emb, norm, paths)",
+    )
+    sp.add_argument(
+        "--protocol-dir", required=True,
+        help="IJB-S cs6 protocol directory (cs6_metadata.csv, galleries/)",
+    )
+    sp.add_argument(
+        "--fuse-match-method",
+        default="pre_norm_vector_add_cos",
+        choices=("pre_norm_vector_add_cos", "mean_cos"),
+    )
+    sp.set_defaults(fn=cmd_ijbs)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -9,7 +9,7 @@ the TinyFace-style rank-k retrieval harness
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -98,27 +98,74 @@ def DIR_FAR(
     return DIRs, out_FARs, thresholds
 
 
-def fuse_flip_features(
-    features: np.ndarray, flipped_features: np.ndarray, method: str = "norm_weighted_avg"
-) -> np.ndarray:
-    """Flip-TTA fusion methods of validate_tinyface.py:29-65."""
-    if method == "norm_weighted_avg":
-        n1 = np.linalg.norm(features, axis=1, keepdims=True)
-        n2 = np.linalg.norm(flipped_features, axis=1, keepdims=True)
-        fused = features * n1 + flipped_features * n2
-    elif method == "average":
-        fused = features + flipped_features
-    elif method == "concat":
-        return np.concatenate([features, flipped_features], axis=1)
-    elif method == "faceness_score":
-        raise NotImplementedError(
-            "faceness-score fusion needs detector scores"
-        )
+def _l2(x: np.ndarray):
+    n = np.linalg.norm(x, ord=2, axis=1, keepdims=True)
+    return x / np.clip(n, 1e-12, None), n
+
+
+FUSION_METHODS = (
+    "average",
+    "norm_weighted_avg",
+    "pre_norm_vector_add",
+    "concat",
+    "faceness_score",
+)
+
+
+def fuse_features_with_norm(
+    stacked_embeddings: np.ndarray,  # [F, B, D]
+    stacked_norms: Optional[np.ndarray],  # [F, B, 1] or None
+    fusion_method: str = "norm_weighted_avg",
+    faceness_scores: Optional[np.ndarray] = None,  # [B]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Flip-TTA fusion — validate_tinyface.py:29-65 semantics.
+
+    faceness_score: the reference raises there, pointing at insightface's
+    ijb_11.py:296 recipe; implemented here per that recipe — sum the
+    flip halves and scale each fused embedding by its detector score,
+    with NO re-normalization afterward (the detector confidence becomes
+    part of the feature magnitude, down-weighting dubious faces in the
+    inner-product scores).
+    """
+    assert stacked_embeddings.ndim == 3
+    if stacked_norms is not None:
+        assert stacked_norms.ndim == 3
     else:
-        raise ValueError(method)
-    return fused / np.clip(
-        np.linalg.norm(fused, axis=1, keepdims=True), 1e-12, None
-    )
+        assert fusion_method not in ("norm_weighted_avg", "pre_norm_vector_add")
+
+    def mean_norm_or_ones():
+        if stacked_norms is None:
+            return np.ones((stacked_embeddings.shape[1], 1), np.float32)
+        return stacked_norms.mean(axis=0)
+
+    if fusion_method == "norm_weighted_avg":
+        weights = stacked_norms / stacked_norms.sum(axis=0, keepdims=True)
+        fused, _ = _l2((stacked_embeddings * weights).sum(axis=0))
+        fused_norm = stacked_norms.mean(axis=0)
+    elif fusion_method == "pre_norm_vector_add":
+        fused, fused_norm = _l2(
+            (stacked_embeddings * stacked_norms).sum(axis=0)
+        )
+    elif fusion_method == "average":
+        fused, _ = _l2(stacked_embeddings.sum(axis=0))
+        fused_norm = mean_norm_or_ones()
+    elif fusion_method == "concat":
+        fused = np.concatenate(
+            [stacked_embeddings[0], stacked_embeddings[1]], axis=-1
+        )
+        fused_norm = mean_norm_or_ones()
+    elif fusion_method == "faceness_score":
+        if faceness_scores is None:
+            raise ValueError(
+                "faceness_score fusion requires per-image detector scores"
+            )
+        fused = stacked_embeddings.sum(axis=0) * np.asarray(
+            faceness_scores, np.float32
+        ).reshape(-1, 1)
+        fused_norm = mean_norm_or_ones()
+    else:
+        raise ValueError(f"not a correct fusion method: {fusion_method!r}")
+    return fused, fused_norm
 
 
 class RankRetrievalTest:

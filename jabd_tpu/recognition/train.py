@@ -151,9 +151,18 @@ def extract_embeddings_tta(
     variables,
     images: np.ndarray,  # [N, H, W, 3] float32 normalized
     batch_size: int = 256,
+    fusion_method: str = "pre_norm_vector_add",
+    use_flip_test: bool = True,
+    faceness_scores: np.ndarray | None = None,  # [N] detector scores
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Flip-TTA embedding extraction with norm-weighted fusion
-    (train_val.py:77-104)."""
+    """Flip-TTA embedding extraction with selectable fusion
+    (validate_tinyface.py:70-104 infer loop; fusion methods :29-65,
+    default pre_norm_vector_add per its CLI default :128).
+
+    Note train_val.py:77-104 (the 5-set verification path) hard-codes the
+    utils.py:20-29 fusion == 'pre_norm_vector_add' here."""
+    from jabd_tpu.recognition import identification as ID
+
     apply = jax.jit(
         lambda v, x: model.apply(v, x, train=False)
     )
@@ -162,10 +171,24 @@ def extract_embeddings_tta(
     for lo in range(0, n, batch_size):
         x = jnp.asarray(images[lo : lo + batch_size])
         e1, n1 = apply(variables, x)
+        if not use_flip_test:
+            embs.append(np.asarray(e1))
+            norms.append(np.asarray(n1))
+            continue
         e2, n2 = apply(variables, x[:, :, ::-1, :])  # horizontal flip
         stacked_e = np.stack([np.asarray(e1), np.asarray(e2)])
         stacked_n = np.stack([np.asarray(n1), np.asarray(n2)])
-        fused, fused_norm = V.fuse_features_with_norm(stacked_e, stacked_n)
+        fs = (
+            faceness_scores[lo : lo + batch_size]
+            if faceness_scores is not None
+            else None
+        )
+        fused, fused_norm = ID.fuse_features_with_norm(
+            stacked_e,
+            stacked_n,
+            fusion_method=fusion_method,
+            faceness_scores=fs,
+        )
         embs.append(fused)
         norms.append(fused_norm)
     return np.concatenate(embs), np.concatenate(norms)
