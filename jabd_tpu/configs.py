@@ -236,6 +236,24 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
         fpn_upsample="bicubic",
         nlm=NLMConfig(ch=40, psp_sizes=(1, 3, 6, 8)),
     ),
+    # train_all_bicubic.py:231-271 sketches a pixelshuffle upsample
+    # (pixelshuffle_block built but commented out of forward) — the last
+    # unexplored axis of the ablation grid (SURVEY section 2.1 axis e).
+    # Flagship assembly with the learned sub-pixel upsample + NLM ch=8
+    # (that script's NLM width).
+    "jabd_pixelshuffle": _mk(
+        "jabd_pixelshuffle",
+        anchors=CFG_MNET,
+        backbone="mobilenet_v3_large",
+        backbone_block_attention="eca",
+        in_channels=(40, 80, 160),
+        out_channels=40,
+        tap_attention="eca_stdv",
+        fpn_attention="eca_stdv",
+        eca_gate="hsigmoid",
+        fpn_upsample="pixelshuffle",
+        nlm=NLMConfig(ch=8, psp_sizes=(1, 3, 6, 8)),
+    ),
     # train_mobilenetV3_ecablockG.py: ecaG inside bottlenecks, NLM ch=4
     # psp (1,4,8,12), nearest upsample.
     "jabd_ecablock_g": _mk(
