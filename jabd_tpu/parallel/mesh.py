@@ -28,24 +28,39 @@ def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    initialization_timeout: Optional[int] = None,
 ) -> None:
     """Multi-host initialization (DCN across slices).
 
     The TPU analog of the reference's torch.distributed/NCCL setup
     (main.py:37-50): after this, jax.devices() spans every host's chips
     and the same Mesh/jit SPMD code scales across hosts unchanged.
-    No-ops when already initialized or running single-process.
+
+    Explicit single-process calls (no coordinator, num_processes in
+    {None, 1}) are a no-op; a second call on an initialized runtime is
+    tolerated. Everything else (bad coordinator address, rank mismatch,
+    dead peer) PROPAGATES — masking a misconfigured multi-host job
+    behind a silent fallback to single-host is how you lose a cluster
+    run to a typo.
     """
     import jax
 
+    if coordinator_address is None and num_processes in (None, 1):
+        return  # single-process SPMD needs no distributed runtime
+    kwargs = {}
+    if initialization_timeout is not None:
+        kwargs["initialization_timeout"] = initialization_timeout
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kwargs,
         )
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return
+        raise
 
 
 def make_mesh(

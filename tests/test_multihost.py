@@ -1,0 +1,78 @@
+"""Multi-host (jax.distributed) tests: a real 2-process CPU mesh.
+
+Exercises parallel/mesh.py::init_distributed end-to-end — the DCN path
+the reference reaches via Lightning DDP + NCCL (main.py:37-50,
+utils.py:49-92). Two OS processes, one virtual CPU device each, form a
+single global mesh and psum a data-parallel gradient.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from jabd_tpu.parallel import mesh as M
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_mesh_grad_psum():
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        assert f"proc{i} grad_psum=6.0 OK" in out, out
+
+
+def test_single_process_call_is_noop():
+    # Must not try to spin up a coordinator (and must not swallow real
+    # errors — covered by the negative test below).
+    M.init_distributed()
+    M.init_distributed(num_processes=1)
+
+
+def test_misconfiguration_propagates():
+    """A bad coordinator address must raise, not silently fall back to
+    single-host (the round-1 bare `except: pass` masked this)."""
+    import jax
+
+    if jax.process_count() > 1:
+        pytest.skip("already distributed")
+    with pytest.raises(Exception):
+        M.init_distributed(
+            coordinator_address="127.0.0.1:1",  # nothing listens here
+            num_processes=2,
+            process_id=1,
+            initialization_timeout=5,
+        )
