@@ -97,6 +97,11 @@ class ModelConfig:
     # IOUHead nets/retinaface_eca_nonlocal.py:123-132 — defined there but
     # dead in forward; functional here when enabled).
     with_iou_head: bool = False
+    # 4-level reference assemblies apply ssh3 to BOTH levels 3 and 4
+    # (retinaface_152.py:154 / retinaface50_self.py:152: `feature4 =
+    # self.ssh3(fpn[3])`; their ssh4/ssh5 are built but dead). True
+    # shares the level-3 SSH module with level 4 for weight parity.
+    ssh_share_level4: bool = False
     # Leaky-relu slope rule: leaky=0.1 iff out_channels <= 64
     # (nets/layers.py:41-43, 73-75).
     # Loss: 'smooth_l1' (retinaface_training.py) | 'diou'
@@ -359,6 +364,7 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
         backbone="resnet50_self",
         backbone_block_attention=None,
         fpn_variant="raw152_5",  # retinaface50_self.py:95 uses FPN_152_5
+        ssh_share_level4=True,
         num_levels=4,
         # resnet_pytorch.py:179-186: layer2..5 out channels with the
         # self-mod layer4 at 256 planes (1024 ch) and layer5 at 512 (2048).
@@ -376,6 +382,7 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
         backbone="resnet152",
         backbone_block_attention=None,
         fpn_variant="raw152",  # retinaface_152.py uses FPN_152
+        ssh_share_level4=True,
         num_levels=4,
         in_channels=(256, 512, 1024, 2048),
         out_channels=256,
@@ -490,6 +497,7 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
         backbone="epsanet50",
         backbone_block_attention=None,
         fpn_variant="raw152_5",
+        ssh_share_level4=True,
         num_levels=4,
         in_channels=(512, 1024, 1024, 2048),
         out_channels=256,

@@ -103,10 +103,11 @@ class EPSABlock(nn.Module):
 
 
 class EPSANetBackbone(nn.Module):
-    """5-stage EPSANet-50 ([3,4,6,3,2] with 64/128/256/256/512 planes),
-    taps layer2..5 like resnet50_self (nets/EPSA50.py:118-130,177-183)."""
+    """5-stage EPSANet-50 ([3, 4, 2, 4, 3] with 64/128/256/256/512
+    planes — epsanet50, nets/EPSA50.py:177-179), taps layer2..5 like
+    resnet50_self (nets/EPSA50.py:118-130)."""
 
-    blocks: Sequence[int] = (3, 4, 6, 3, 2)
+    blocks: Sequence[int] = (3, 4, 2, 4, 3)
     planes: Sequence[int] = (64, 128, 256, 256, 512)
     taps: Tuple[int, ...] = (1, 2, 3, 4)
     dtype: Dtype = jnp.float32

@@ -75,7 +75,9 @@ RESNET_SPECS = {
     # 4-level tap variants (layer1..4, retinaface_152.py via nets/Resnet.py).
     "resnet152_l4": ([3, 8, 36, 3], [64, 128, 256, 512], (0, 1, 2, 3)),
     # 5-stage self mods (resnet_pytorch.py:179-186): layer4 at 256 planes.
-    "resnet50_self": ([3, 4, 3, 3, 3], [64, 128, 256, 256, 512], (1, 2, 3, 4)),
+    # resnet50_self blocks are [3, 4, 2, 4, 3] (resnet_pytorch.py:316 —
+    # the LIVE line; [3,4,3,3,3] is its commented-out predecessor :314).
+    "resnet50_self": ([3, 4, 2, 4, 3], [64, 128, 256, 256, 512], (1, 2, 3, 4)),
     "resnet101_self": (
         [3, 4, 11, 12, 3],
         [64, 128, 256, 256, 512],

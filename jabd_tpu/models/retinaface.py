@@ -132,10 +132,19 @@ class RetinaFace(nn.Module):
             )
             fpn = [eca_fpn(f) for f in fpn]
 
-        features = [
-            L.SSH(cfg.out_channels, dtype=dtype, name=f"ssh{i + 1}")(f, train)
-            for i, f in enumerate(fpn)
-        ]
+        # ssh_share_level4: the 4-level reference assemblies run ssh3 on
+        # BOTH levels 3 and 4 (retinaface_152.py:150-154 /
+        # retinaface50_self.py:148-152 `feature4 = self.ssh3(fpn[3])`;
+        # their ssh4/ssh5 are constructed but never called).
+        sshes = []
+        for i in range(len(fpn)):
+            if cfg.ssh_share_level4 and i == 3:
+                sshes.append(sshes[2])
+            else:
+                sshes.append(
+                    L.SSH(cfg.out_channels, dtype=dtype, name=f"ssh{i + 1}")
+                )
+        features = [ssh(f, train) for ssh, f in zip(sshes, fpn)]
 
         bbox = jnp.concatenate(
             [

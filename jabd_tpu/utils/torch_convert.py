@@ -187,7 +187,11 @@ def _convert_common(
         ("conv7X7_2", "conv7x7_2"),
         ("conv7x7_3", "conv7x7_3"),  # ref lowercase x here (layers.py:54)
     ]
-    for i in range(cfg.num_levels):
+    # ssh_share_level4: level 4 reuses ssh3's weights in the reference
+    # forward (retinaface_152.py:154) — its ssh4/ssh5 params are dead and
+    # must NOT be converted (our shared graph has no ssh4 module).
+    n_ssh = 3 if cfg.ssh_share_level4 else cfg.num_levels
+    for i in range(n_ssh):
         for tname, fname in ssh_pairs:
             _convbn(params, stats, sd, f"ssh{i + 1}.{tname}.0",
                     f"ssh{i + 1}.{tname}.1", (f"ssh{i + 1}", fname))
@@ -241,6 +245,59 @@ def convert_resnet_detector_state_dict(
             in_ch = p * 4
 
     _convert_common(sd, cfg, params, stats, tap_eca_names=tap_eca_names)
+    return params, stats
+
+
+def convert_epsa_detector_state_dict(
+    sd: Dict[str, np.ndarray],
+    cfg: ModelConfig,
+    blocks: Tuple[int, ...] = None,
+    planes: Tuple[int, ...] = None,
+) -> Tuple[Dict, Dict]:
+    """Convert an EPSANet-backbone detector state dict (the
+    retinaface50_self.py `backbone = epsa50` branch, nets/EPSA50.py).
+
+    torch names per EPSABlock (EPSA50.py:77-116): conv1/bn1,
+    conv2 = PSAModule {conv_1..4, se.fc1/fc2}, bn2, conv3/bn3,
+    downsample.0/.1; stem body.conv1/bn1.
+    """
+    from jabd_tpu.models.epsa import EPSANetBackbone
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    _convbn(params, stats, sd, "body.conv1", "body.bn1", ("backbone", "stem"))
+    blocks = blocks if blocks is not None else EPSANetBackbone.blocks
+    planes = planes if planes is not None else EPSANetBackbone.planes
+    in_ch = 64
+    for si, (nblocks, p) in enumerate(zip(blocks, planes)):
+        stride = 1 if si == 0 else 2
+        for bi in range(nblocks):
+            t = f"body.layer{si + 1}.{bi}"
+            f = ("backbone", f"layer{si + 1}_block{bi}")
+            _convbn(params, stats, sd, f"{t}.conv1", f"{t}.bn1",
+                    f + ("conv1",))
+            for c in range(1, 5):
+                _set(params, f + ("psa", f"conv_{c}", "kernel"),
+                     conv2d_w(sd[f"{t}.conv2.conv_{c}.weight"]))
+            _conv_with_bias(params, sd, f"{t}.conv2.se.fc1",
+                            f + ("psa", "se", "fc1"))
+            _conv_with_bias(params, sd, f"{t}.conv2.se.fc2",
+                            f + ("psa", "se", "fc2"))
+            _set(params, f + ("bn2", "scale"), sd[f"{t}.bn2.weight"])
+            _set(params, f + ("bn2", "bias"), sd[f"{t}.bn2.bias"])
+            _set(stats, f + ("bn2", "mean"), sd[f"{t}.bn2.running_mean"])
+            _set(stats, f + ("bn2", "var"), sd[f"{t}.bn2.running_var"])
+            _convbn(params, stats, sd, f"{t}.conv3", f"{t}.bn3",
+                    f + ("conv3",))
+            s = stride if bi == 0 else 1
+            if bi == 0 and (s != 1 or in_ch != p * 4):
+                _convbn(params, stats, sd, f"{t}.downsample.0",
+                        f"{t}.downsample.1", f + ("downsample",))
+            in_ch = p * 4
+
+    _convert_common(sd, cfg, params, stats)
     return params, stats
 
 
