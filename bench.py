@@ -28,6 +28,10 @@ TARGET_MULTIPLIER = 5.0
 def main() -> None:
     import functools
 
+    from jabd_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -263,6 +263,9 @@ def cmd_train(args):
 
 
 def main(argv=None):
+    from jabd_tpu.utils import compile_cache
+
+    compile_cache.enable()
     p = argparse.ArgumentParser(prog="jabd_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -217,6 +217,9 @@ def cmd_ijbs(args):
 
 
 def main(argv=None):
+    from jabd_tpu.utils import compile_cache
+
+    compile_cache.enable()
     p = argparse.ArgumentParser(prog="jabd_tpu.recognition")
     sub = p.add_subparsers(dest="cmd", required=True)
 

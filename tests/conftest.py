@@ -21,6 +21,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's compile-heavy model tests go
+# from minutes to seconds on re-runs (cache keys include backend+HLO, so
+# CPU/TPU entries don't collide).
+from jabd_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
