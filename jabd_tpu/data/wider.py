@@ -110,8 +110,11 @@ def augment_sample(
         nh = int(nw / new_ar)
     image = image.resize((max(nw, 1), max(nh, 1)), Image.BICUBIC)
 
-    dx = int(rand(0, w - nw)) if w > nw else int(rand(w - nw, 0))
-    dy = int(rand(0, h - nh)) if h > nh else int(rand(h - nh, 0))
+    # Exactly the reference's draw mapping (utils/dataloader.py:92-93):
+    # rand(0, w-nw) also when w-nw is negative (u*(w-nw), u~U[0,1)) —
+    # byte-level parity of the paste offset depends on this form.
+    dx = int(rand(0, w - nw))
+    dy = int(rand(0, h - nh))
     canvas = Image.new("RGB", (w, h), (128, 128, 128))
     canvas.paste(image, (dx, dy))
     image = canvas

@@ -60,6 +60,76 @@ def test_augment_sample_invariants(wider_tree):
                 np.testing.assert_allclose(nl[:, 4:14], 0.0)
 
 
+class _LegacyNPRandom:
+    """Duck-typed rng that replays numpy's LEGACY global stream — lets
+    augment_sample consume the exact same draws as the reference's
+    `self.rand` (utils/dataloader.py:68-69: np.random.rand) and
+    np.random.shuffle."""
+
+    def random(self):
+        return np.random.rand()
+
+    def shuffle(self, x):
+        np.random.shuffle(x)
+
+
+def test_augment_byte_parity_vs_reference():
+    """Seeded byte-level parity of the FULL augmentation (geometry + HSV)
+    against the reference's own get_random_data — closes ROADMAP round-1
+    gap #9 (only letterbox/labels had byte parity before). The single
+    intentional deviation is the upper box clip (the reference's is a
+    fancy-index no-op, PARITY.md), so reference boxes are min-clipped
+    before comparing."""
+    import importlib
+    import os
+    import sys
+
+    ref_root = "/root/reference/JABD2080ti"
+    if not os.path.isfile(os.path.join(ref_root, "utils/dataloader.py")):
+        pytest.skip("reference tree not mounted")
+    pytest.importorskip("torch")
+    from PIL import Image
+
+    sys.path.insert(0, ref_root)
+    try:
+        mod = importlib.import_module("utils.dataloader")
+    finally:
+        sys.path.remove(ref_root)
+    dg = mod.DataGenerator.__new__(mod.DataGenerator)  # skip file __init__
+
+    base = np.random.default_rng(0)
+    img = Image.fromarray(
+        base.integers(0, 255, (73, 97, 3), dtype=np.uint8), "RGB"
+    )
+    box0 = np.zeros((4, 15), np.float32)
+    cxy = base.uniform(10, 60, (4, 2))
+    wh = base.uniform(5, 25, (4, 2))
+    box0[:, 0:2] = cxy - wh / 2
+    box0[:, 2:4] = cxy + wh / 2
+    box0[:, 4:14] = base.uniform(10, 60, (4, 10))
+    box0[:, 14] = [1, -1, 1, -1]
+
+    xs, ys = [0, 2, 4, 6, 8, 10, 12], [1, 3, 5, 7, 9, 11, 13]
+    for seed in range(8):  # covers flip on/off, upscale/downscale
+        np.random.seed(seed)
+        ref_img, ref_box = dg.get_random_data(
+            img, box0.copy(), [128, 128]
+        )
+        np.random.seed(seed)
+        our_img, our_box = D.augment_sample(
+            img, box0.copy(), 128, _LegacyNPRandom()
+        )
+        np.testing.assert_array_equal(our_img, ref_img, err_msg=f"s{seed}")
+        ref_box = np.asarray(ref_box, np.float32)
+        if len(ref_box):
+            ref_box[:, xs] = np.minimum(ref_box[:, xs], 1.0)
+            ref_box[:, ys] = np.minimum(ref_box[:, ys], 1.0)
+        assert our_box.shape == ref_box.shape, f"s{seed}"
+        np.testing.assert_allclose(
+            our_box, ref_box, atol=1e-6, err_msg=f"s{seed}"
+        )
+
+
 def test_batch_targets_padding():
     t1 = np.random.rand(3, 15).astype(np.float32)
     t2 = np.random.rand(7, 15).astype(np.float32)
