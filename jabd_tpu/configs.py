@@ -143,6 +143,15 @@ class TrainConfig:
     # ~30% more FLOPs for activation memory — lets batch size grow past
     # HBM limits at 840x840.
     remat: bool = False
+    # Run the get_random_data augmentation ON the device (MXU resample +
+    # fused HSV, data/device_augment.py) instead of host PIL/cv2. The
+    # host then only decodes + pads; targets are byte-identical either
+    # way. The wall this removes: ~2 img/s/core host augment vs 450+
+    # img/s/chip training.
+    device_augment: bool = False
+    # Static uint8 source bucket for device augmentation (H, W); larger
+    # sources are PIL pre-shrunk on host.
+    augment_bucket: Tuple[int, int] = (1024, 1024)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,378 @@
+"""Training augmentation ON the TPU (MXU resample + fused HSV jitter).
+
+Why: the reference runs `get_random_data` (utils/dataloader.py:71-149)
+per-sample on CPU DataLoader workers — PIL bicubic resize onto a gray
+canvas, flip, float-HSV jitter. Measured here, that Python/PIL/cv2 chain
+tops out at ~2 img/s/core while one v5e chip trains at 450+ img/s: the
+host pipeline, not the model, is the production wall.
+
+TPU-first redesign: every pixel operation in the recipe is linear or
+elementwise, so the whole augmentation is expressible as a per-sample
+separable resample (two batched matmuls — MXU work) followed by a fused
+elementwise HSV block (VPU work), inside the SAME jitted program as the
+train step:
+
+  * The host draws the random parameters (`wider.draw_augment_params`,
+    shared with the byte-exact PIL path — identical RNG consumption), and
+    builds two small dense resample matrices per sample,
+    [S, bucket_h] and [S, bucket_w], that fold together PIL-semantics
+    bicubic resize (antialiased taps, a=-0.5), the paste offset, and the
+    horizontal flip. Box geometry reuses `wider.transform_boxes`, so
+    TARGETS ARE BYTE-IDENTICAL to the host pipeline.
+  * The device contracts  out = Mv @ image @ Mh^T  per sample (einsum
+    over a uint8-decoded batch padded to a static bucket), adds the
+    128-gray fill outside the paste region, and applies cv2-float-HSV
+    jitter + mean subtraction as one fused elementwise chain.
+
+Pixels differ from the PIL path only by resample rounding (PIL quantizes
+to uint8 between its two passes and uses fixed-point taps); the
+tolerance is asserted in tests/test_device_augment.py. Host cost drops
+to decode + pad + O(S·K) matrix fill; H2D traffic *shrinks* (uint8
+source + bf16 matrices < augmented float32 frames).
+
+Reference: utils/dataloader.py:71-149 (recipe); PIL Resample.c
+precompute_coeffs (tap semantics).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jabd_tpu.data import wider
+from jabd_tpu.ops.image import MEANS
+
+_PIL_A = -0.5  # PIL's bicubic coefficient (vs torch/cv2's -0.75)
+_SUPPORT = 2.0
+
+
+def _pil_bicubic_filter(x: np.ndarray) -> np.ndarray:
+    """Pillow's bicubic kernel (Resample.c bicubic_filter, a=-0.5)."""
+    a = _PIL_A
+    x = np.abs(x)
+    near = ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+    far = (((x - 5.0) * x + 8.0) * x - 4.0) * a
+    return np.where(x < 1.0, near, np.where(x < 2.0, far, 0.0))
+
+
+def _pil_taps(in_size: int, out_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """PIL precompute_coeffs: per output index, the first source tap and
+    the normalized antialiased weights.
+
+    Returns (xmin [out], weights [out, ksize]); taps are the contiguous
+    source range xmin..xmin+ksize-1 with trailing zero weights past the
+    window (all indices stay inside [0, in_size))."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = _SUPPORT * filterscale
+    ksize = int(np.ceil(support)) * 2 + 1
+
+    center = (np.arange(out_size) + 0.5) * scale
+    xmin = np.clip((center - support + 0.5).astype(np.int64), 0, None)
+    xmax = np.minimum((center + support + 0.5).astype(np.int64), in_size)
+    count = xmax - xmin  # taps per row
+
+    taps = xmin[:, None] + np.arange(ksize)[None, :]
+    w = _pil_bicubic_filter(
+        (taps - center[:, None] + 0.5) / filterscale
+    )
+    w = np.where(np.arange(ksize)[None, :] < count[:, None], w, 0.0)
+    ww = w.sum(axis=1, keepdims=True)
+    w = np.divide(w, ww, out=np.zeros_like(w), where=ww != 0.0)
+    return xmin, w.astype(np.float32)
+
+
+def _axis_matrix(
+    in_size: int,
+    out_len: int,
+    offset: int,
+    canvas: int,
+    bucket: int,
+    flip: bool,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense [canvas, bucket] matrix composing PIL bicubic resize
+    (in_size -> out_len) with the paste at `offset` (negative crops) and
+    an optional output flip. Rows outside the pasted span are all-zero;
+    `inside` marks pasted rows (the rest get the 128-gray fill)."""
+    m = np.zeros((canvas, bucket), np.float32)
+    inside = np.zeros((canvas,), np.float32)
+    eff = max(out_len, 1)
+    xmin, w = _pil_taps(in_size, eff)
+    ksize = w.shape[1]
+
+    lo = max(0, offset)
+    hi = min(canvas, offset + eff)
+    if hi > lo:
+        o = np.arange(lo, hi)  # canvas indices covered by the paste
+        u = o - offset  # resized-image indices
+        cols = xmin[u][:, None] + np.arange(ksize)[None, :]
+        # add.at: clipped duplicate columns carry zero weight by
+        # construction, so accumulation is collision-safe.
+        np.add.at(
+            m,
+            (o[:, None], np.minimum(cols, in_size - 1)),
+            w[u],
+        )
+        inside[lo:hi] = 1.0
+    if flip:
+        m = m[::-1].copy()
+        inside = inside[::-1].copy()
+    return m, inside
+
+
+class AugmentPlan(NamedTuple):
+    """Per-batch device-augmentation program (all host-built numpy/jnp).
+
+    mv:       [B, S, bucket_h] vertical resample+paste matrices
+    mh:       [B, S, bucket_w] horizontal (flip folded in)
+    inside_v: [B, S] 1.0 where the paste covers the canvas row
+    inside_h: [B, S] 1.0 where the paste covers the canvas column
+    hsv:      [B, 3] (dh*360, ds, dv) jitter parameters
+    """
+
+    mv: np.ndarray
+    mh: np.ndarray
+    inside_v: np.ndarray
+    inside_h: np.ndarray
+    hsv: np.ndarray
+
+
+def plan_sample(
+    image_u8: np.ndarray,  # [ih, iw, 3] uint8 (decoded, unpadded)
+    box: np.ndarray,  # [N, 15]
+    input_size: int,
+    rng: np.random.Generator,
+    bucket_hw: Tuple[int, int],
+    jitter: float = 0.3,
+    hue: float = 0.1,
+    sat: float = 1.5,
+    val: float = 1.5,
+):
+    """Draw one augmentation and compile it to device matrices.
+
+    Returns (padded_u8 [bh, bw, 3], (mv, mh, inside_v, inside_h, hsv),
+    boxes [M, 15]). Boxes are byte-identical to `wider.augment_sample`
+    under the same rng. Oversize sources are PIL-bicubic pre-shrunk to
+    the bucket (composes with the matrix resample; pixel-only effect).
+    """
+    ih, iw = image_u8.shape[:2]
+    draw = wider.draw_augment_params(rng, input_size, jitter, hue, sat, val)
+    boxes = wider.transform_boxes(box, draw, (iw, ih), input_size, rng)
+
+    bh, bw = bucket_hw
+    if ih > bh or iw > bw:
+        from PIL import Image
+
+        sw, sh = min(iw, bw), min(ih, bh)
+        image_u8 = np.asarray(
+            Image.fromarray(image_u8).resize((sw, sh), Image.BICUBIC)
+        )
+        ih, iw = sh, sw
+    padded = np.zeros((bh, bw, 3), np.uint8)
+    padded[:ih, :iw] = image_u8
+
+    s = input_size
+    mv, inside_v = _axis_matrix(ih, draw.nh, draw.dy, s, bh, flip=False)
+    mh, inside_h = _axis_matrix(iw, draw.nw, draw.dx, s, bw, flip=draw.flip)
+    hsv = np.asarray([draw.dh * 360.0, draw.ds, draw.dv], np.float32)
+    return padded, (mv, mh, inside_v, inside_h, hsv), boxes
+
+
+def stack_plans(parts: Sequence[Tuple]) -> AugmentPlan:
+    """Stack per-sample plan tuples into one AugmentPlan batch."""
+    mv, mh, iv, ih_, hsv = zip(*parts)
+    return AugmentPlan(
+        mv=np.stack(mv),
+        mh=np.stack(mh),
+        inside_v=np.stack(iv),
+        inside_h=np.stack(ih_),
+        hsv=np.stack(hsv),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device side
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_hsv_cv2(rgb: jnp.ndarray) -> jnp.ndarray:
+    """cv2 COLOR_RGB2HSV float semantics: rgb in [0,1] ->
+    (H in [0,360], S, V in [0,1]). Matches OpenCV's RGB2HSV_f
+    (FLT_EPSILON-guarded divisions, channel-priority tie-breaks)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    vmin = jnp.minimum(jnp.minimum(r, g), b)
+    diff = v - vmin
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    s = diff / (jnp.abs(v) + eps)
+    k = 60.0 / (diff + eps)
+    h = jnp.where(
+        v == r,
+        (g - b) * k,
+        jnp.where(v == g, (b - r) * k + 120.0, (r - g) * k + 240.0),
+    )
+    h = jnp.where(h < 0, h + 360.0, h)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb_cv2(hsv: jnp.ndarray) -> jnp.ndarray:
+    """cv2 COLOR_HSV2RGB float semantics: (H [0,360], S, V [0,1]) -> rgb
+    in [0,1] (OpenCV HSV2RGB_f sector table)."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    h = h / 60.0
+    sector = jnp.floor(h)
+    f = h - sector
+    sector = jnp.mod(sector.astype(jnp.int32), 6)
+    tab0 = v
+    tab1 = v * (1.0 - s)
+    tab2 = v * (1.0 - s * f)
+    tab3 = v * (1.0 - s * (1.0 - f))
+    # OpenCV sector_data (RGB order): per sector the (r, g, b) tab picks.
+    r = jnp.select(
+        [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
+        [tab0, tab2, tab1, tab1, tab3],
+        tab0,
+    )
+    g = jnp.select(
+        [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
+        [tab3, tab0, tab0, tab2, tab1],
+        tab1,
+    )
+    b = jnp.select(
+        [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
+        [tab1, tab1, tab3, tab0, tab0],
+        tab2,
+    )
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def device_augment(
+    images_u8: jnp.ndarray,  # [B, bucket_h, bucket_w, 3] uint8
+    plan: AugmentPlan,
+    resample_dtype: jnp.dtype = jnp.bfloat16,
+    out_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Jit-able: padded uint8 sources + plan -> mean-subtracted float
+    [B, S, S, 3] training frames (the exact tensor `augment_sample` +
+    `preprocess_input_np` produce, up to resample rounding).
+
+    resample_dtype=bfloat16 puts the two contractions on the MXU at full
+    rate (uint8 pixel values are exact in bf16; tap weights round to ~3
+    decimal digits — ≤1 LSB output effect). float32 selects HIGHEST
+    precision for parity testing.
+    """
+    b = images_u8.shape[0]
+    x = images_u8.astype(resample_dtype)
+    mv = jnp.asarray(plan.mv, resample_dtype)
+    mh = jnp.asarray(plan.mh, resample_dtype)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if resample_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    # Vertical: [B,S,bh] x [B,bh,bw,3] -> [B,S,bw,3]; PIL clamps each
+    # pass to uint8 range (bicubic overshoot), we clamp without rounding.
+    y = jnp.einsum("brh,bhwc->brwc", mv, x, precision=prec)
+    y = jnp.clip(y, 0.0, 255.0)
+    y = jnp.einsum("bow,brwc->broc", mh, y, precision=prec)
+    y = jnp.clip(jnp.round(y.astype(jnp.float32)), 0.0, 255.0)
+
+    inside = (
+        plan.inside_v.astype(jnp.float32)[:, :, None]
+        * plan.inside_h.astype(jnp.float32)[:, None, :]
+    )[..., None]
+    y = y * inside + 128.0 * (1.0 - inside)
+
+    # HSV jitter — the reference's exact op order incl. its H>1 quirk
+    # (utils/dataloader.py:105-113, kept verbatim in wider.augment_sample).
+    hsv = rgb_to_hsv_cv2(y / 255.0)
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    dh = plan.hsv[:, 0][:, None, None]
+    ds = plan.hsv[:, 1][:, None, None]
+    dv = plan.hsv[:, 2][:, None, None]
+    h = h + dh
+    h = jnp.where(h > 1.0, h - 1.0, h)
+    h = jnp.where(h < 0.0, h + 1.0, h)
+    s = s * ds
+    v = v * dv
+    h = jnp.minimum(h, 360.0)
+    s = jnp.minimum(s, 1.0)
+    v = jnp.minimum(v, 1.0)
+    h = jnp.maximum(h, 0.0)
+    s = jnp.maximum(s, 0.0)
+    v = jnp.maximum(v, 0.0)
+    rgb = hsv_to_rgb_cv2(jnp.stack([h, s, v], axis=-1)) * 255.0
+
+    out = rgb - jnp.asarray(MEANS, jnp.float32)
+    return out.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Loader
+# ---------------------------------------------------------------------------
+
+
+def device_train_loader(
+    dataset: "wider.WiderFaceDataset",
+    batch_size: int,
+    bucket_hw: Tuple[int, int] = (1024, 1024),
+    max_targets: int = 128,
+    seed: int = 0,
+    num_workers: int = 8,
+    drop_last: bool = True,
+):
+    """Device-augmentation twin of `wider.train_loader`: yields
+    (images_u8 [B,bh,bw,3], AugmentPlan, padded targets). Host pixel work
+    is decode + pad only; empty-box backfill re-draws PLANS (no pixel
+    cost) and duplicates samples exactly like the host loader."""
+    import concurrent.futures as cf
+
+    from PIL import Image
+
+    order = np.random.default_rng(seed).permutation(len(dataset))
+    pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+
+    def load_raw(idx):
+        img = Image.open(dataset.imgs_path[int(idx)]).convert("RGB")
+        return np.asarray(img, np.uint8)
+
+    def make(idx, raw, attempt=0):
+        rng = np.random.default_rng(
+            (seed * 1_000_003 + int(idx) * 7919 + attempt) & 0x7FFFFFFF
+        )
+        return plan_sample(
+            raw, dataset.annos[int(idx)], dataset.input_size, rng, bucket_hw
+        )
+
+    try:
+        cursor = 0
+        while cursor + batch_size <= len(order) or (
+            not drop_last and cursor < len(order)
+        ):
+            idxs = order[cursor : cursor + batch_size]
+            cursor += batch_size
+            raws = list(pool.map(load_raw, idxs))
+            results = []
+            for idx, raw in zip(idxs, raws):
+                padded, parts, boxes = make(idx, raw)
+                attempt = 1
+                while len(boxes) == 0 and attempt < 8:
+                    padded, parts, boxes = make(idx, raw, attempt)
+                    attempt += 1
+                if len(boxes) > 0:
+                    results.append((padded, parts, boxes))
+            if not results:
+                continue
+            while len(results) < batch_size:
+                results.append(results[len(results) % len(results)])
+            images = np.stack([r[0] for r in results])
+            plan = stack_plans([r[1] for r in results])
+            tgts = wider.batch_targets(
+                [r[2] for r in results], max_targets
+            )
+            yield images, plan, tgts
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)

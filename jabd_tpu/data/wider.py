@@ -15,6 +15,7 @@ exactly like the reference's CPU DataLoader workers.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import dataclasses
 from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
@@ -68,6 +69,107 @@ def parse_wider_labels(txt_path: str) -> Tuple[List[str], List[np.ndarray]]:
     return imgs_path, annos
 
 
+@dataclasses.dataclass(frozen=True)
+class AugmentDraw:
+    """The random decisions of one `get_random_data` call
+    (utils/dataloader.py:71-113), separated from the pixel work so the
+    host (PIL/cv2) and device (MXU resample) pipelines share one source
+    of truth for RNG consumption order and box geometry."""
+
+    nw: int  # resized width before paste
+    nh: int  # resized height
+    dx: int  # paste offset x (can be negative)
+    dy: int  # paste offset y
+    flip: bool
+    dh: float  # hue shift (fraction; applied as dh*360 in cv2 H degrees)
+    ds: float  # saturation scale
+    dv: float  # value scale
+
+
+def draw_augment_params(
+    rng: np.random.Generator,
+    input_size: int,
+    jitter: float = 0.3,
+    hue: float = 0.1,
+    sat: float = 1.5,
+    val: float = 1.5,
+) -> AugmentDraw:
+    """Consume RNG draws in exactly the reference's order
+    (utils/dataloader.py:78-113): aspect (2 draws), scale, dx, dy, flip,
+    hue, sat (cond+value), val (cond+value)."""
+
+    def rand(a=0.0, b=1.0):
+        return rng.random() * (b - a) + a
+
+    h = w = input_size
+    new_ar = (w / h) * rand(1 - jitter, 1 + jitter) / rand(1 - jitter, 1 + jitter)
+    scale = rand(0.25, 3.25)
+    if new_ar < 1:
+        nh = int(scale * h)
+        nw = int(nh * new_ar)
+    else:
+        nw = int(scale * w)
+        nh = int(nw / new_ar)
+    # nw/nh stay raw (box math uses them); resize callers clamp to >= 1.
+    # rand(0, w-nw) also when w-nw is negative (u*(w-nw), u~U[0,1)) —
+    # byte-level parity of the paste offset depends on this form
+    # (utils/dataloader.py:92-93).
+    dx = int(rand(0, w - nw))
+    dy = int(rand(0, h - nh))
+    flip = rand() < 0.5
+    dh = rand(-hue, hue)
+    ds = rand(1, sat) if rand() < 0.5 else 1 / rand(1, sat)
+    dv = rand(1, val) if rand() < 0.5 else 1 / rand(1, val)
+    return AugmentDraw(nw, nh, dx, dy, flip, dh, ds, dv)
+
+
+def transform_boxes(
+    box: np.ndarray,
+    draw: AugmentDraw,
+    image_wh: Tuple[int, int],
+    input_size: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Apply the draw's geometry to [N, 15] annotations — shuffle, map to
+    canvas coords, flip remap, center filter, clip, >1px filter,
+    zero flagged landmarks, normalize (utils/dataloader.py:115-147).
+
+    RNG note: the one draw consumed here (`rng.shuffle`) happens AFTER all
+    of `draw_augment_params`'s draws in the reference's order.
+    """
+    iw, ih = image_wh
+    h = w = input_size
+    nw, nh, dx, dy = draw.nw, draw.nh, draw.dx, draw.dy
+    box = box.copy()
+    xs = [0, 2, 4, 6, 8, 10, 12]
+    ys = [1, 3, 5, 7, 9, 11, 13]
+    if len(box) > 0:
+        rng.shuffle(box)
+        box[:, xs] = box[:, xs] * nw / iw + dx
+        box[:, ys] = box[:, ys] * nh / ih + dy
+        if draw.flip:
+            box[:, xs] = w - box[:, [2, 0, 6, 4, 8, 12, 10]]
+            box[:, [5, 7, 9, 11, 13]] = box[:, [7, 5, 9, 13, 11]]
+
+        cx = (box[:, 0] + box[:, 2]) / 2
+        cy = (box[:, 1] + box[:, 3]) / 2
+        keep = (cx > 0) & (cy > 0) & (cx < w) & (cy < h)
+        box = box[keep]
+
+        box[:, 0:14][box[:, 0:14] < 0] = 0
+        box[:, xs] = np.minimum(box[:, xs], w)
+        box[:, ys] = np.minimum(box[:, ys], h)
+        bw = box[:, 2] - box[:, 0]
+        bh = box[:, 3] - box[:, 1]
+        box = box[(bw > 1) & (bh > 1)]
+
+    if len(box) > 0:
+        box[:, 4:-1][box[:, -1] == -1] = 0
+        box[:, xs] /= w
+        box[:, ys] /= h
+    return box.astype(np.float32)
+
+
 def augment_sample(
     image,  # PIL.Image
     box: np.ndarray,  # [N, 15]
@@ -94,78 +196,33 @@ def augment_sample(
     import cv2
     from PIL import Image
 
-    def rand(a=0.0, b=1.0):
-        return rng.random() * (b - a) + a
-
     iw, ih = image.size
     h = w = input_size
+    draw = draw_augment_params(rng, input_size, jitter, hue, sat, val)
 
-    new_ar = (w / h) * rand(1 - jitter, 1 + jitter) / rand(1 - jitter, 1 + jitter)
-    scale = rand(0.25, 3.25)
-    if new_ar < 1:
-        nh = int(scale * h)
-        nw = int(nh * new_ar)
-    else:
-        nw = int(scale * w)
-        nh = int(nw / new_ar)
-    image = image.resize((max(nw, 1), max(nh, 1)), Image.BICUBIC)
-
-    # Exactly the reference's draw mapping (utils/dataloader.py:92-93):
-    # rand(0, w-nw) also when w-nw is negative (u*(w-nw), u~U[0,1)) —
-    # byte-level parity of the paste offset depends on this form.
-    dx = int(rand(0, w - nw))
-    dy = int(rand(0, h - nh))
+    image = image.resize(
+        (max(draw.nw, 1), max(draw.nh, 1)), Image.BICUBIC
+    )
     canvas = Image.new("RGB", (w, h), (128, 128, 128))
-    canvas.paste(image, (dx, dy))
+    canvas.paste(image, (draw.dx, draw.dy))
     image = canvas
-
-    flip = rand() < 0.5
-    if flip:
+    if draw.flip:
         image = image.transpose(Image.FLIP_LEFT_RIGHT)
 
     # HSV jitter in cv2's float HSV space (H in [0, 360]).
-    dh = rand(-hue, hue)
-    ds = rand(1, sat) if rand() < 0.5 else 1 / rand(1, sat)
-    dv = rand(1, val) if rand() < 0.5 else 1 / rand(1, val)
     x = cv2.cvtColor(np.array(image, np.float32) / 255.0, cv2.COLOR_RGB2HSV)
-    x[..., 0] += dh * 360
+    x[..., 0] += draw.dh * 360
     x[..., 0][x[..., 0] > 1] -= 1  # reference quirk kept as-is (:112-113)
     x[..., 0][x[..., 0] < 0] += 1
-    x[..., 1] *= ds
-    x[..., 2] *= dv
+    x[..., 1] *= draw.ds
+    x[..., 2] *= draw.dv
     x[x[:, :, 0] > 360, 0] = 360
     x[:, :, 1:][x[:, :, 1:] > 1] = 1
     x[x < 0] = 0
     image_data = cv2.cvtColor(x, cv2.COLOR_HSV2RGB) * 255
 
-    box = box.copy()
-    if len(box) > 0:
-        rng.shuffle(box)
-        xs = [0, 2, 4, 6, 8, 10, 12]
-        ys = [1, 3, 5, 7, 9, 11, 13]
-        box[:, xs] = box[:, xs] * nw / iw + dx
-        box[:, ys] = box[:, ys] * nh / ih + dy
-        if flip:
-            box[:, xs] = w - box[:, [2, 0, 6, 4, 8, 12, 10]]
-            box[:, [5, 7, 9, 11, 13]] = box[:, [7, 5, 9, 13, 11]]
-
-        cx = (box[:, 0] + box[:, 2]) / 2
-        cy = (box[:, 1] + box[:, 3]) / 2
-        keep = (cx > 0) & (cy > 0) & (cx < w) & (cy < h)
-        box = box[keep]
-
-        box[:, 0:14][box[:, 0:14] < 0] = 0
-        box[:, xs] = np.minimum(box[:, xs], w)
-        box[:, ys] = np.minimum(box[:, ys], h)
-        bw = box[:, 2] - box[:, 0]
-        bh = box[:, 3] - box[:, 1]
-        box = box[(bw > 1) & (bh > 1)]
-
-    if len(box) > 0:
-        box[:, 4:-1][box[:, -1] == -1] = 0
-        box[:, xs] /= w
-        box[:, ys] /= h
-    return image_data.astype(np.float32), box.astype(np.float32)
+    box = transform_boxes(box, draw, (iw, ih), input_size, rng)
+    return image_data.astype(np.float32), box
 
 
 class WiderFaceDataset:

@@ -170,7 +170,26 @@ def make_train_step(
         metrics = {"loss": loss, **parts}
         return new_state, metrics
 
-    return step
+    if not train_cfg.device_augment:
+        return step
+
+    from jabd_tpu.data.device_augment import device_augment
+
+    @jax.jit
+    def aug_step(state: TrainState, images_u8, plan, targets, anchors):
+        # Augmentation (MXU resample + fused HSV) runs inside the SAME
+        # device program as fwd/bwd/update — XLA overlaps it with the
+        # optimizer tail of the previous dispatch; the host only ships
+        # uint8 sources + per-sample resample matrices.
+        images = device_augment(images_u8, plan)
+        (loss, (parts, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, images, targets, anchors)
+        new_state = state.apply_gradients(grads, new_bs)
+        metrics = {"loss": loss, **parts}
+        return new_state, metrics
+
+    return aug_step
 
 
 def fit(
@@ -267,18 +286,38 @@ def fit(
         for epoch in range(first, last):
             t0 = time.time()
             step_losses = []  # device arrays — no per-step host sync
-            batches = train_loader(
-                dataset,
-                train_cfg.batch_size,
-                max_targets=train_cfg.max_targets,
-                seed=train_cfg.seed + epoch,
-            )
+            if train_cfg.device_augment:
+                from jabd_tpu.data.device_augment import device_train_loader
 
-            def to_batch(item):
-                images, (boxes, labels, landms, valid) = item
-                return (
-                    images.astype(np.float32), boxes, labels, landms, valid,
+                batches = device_train_loader(
+                    dataset,
+                    train_cfg.batch_size,
+                    bucket_hw=train_cfg.augment_bucket,
+                    max_targets=train_cfg.max_targets,
+                    seed=train_cfg.seed + epoch,
                 )
+
+                def to_batch(item):
+                    images_u8, plan, (boxes, labels, landms, valid) = item
+                    return (images_u8, plan, boxes, labels, landms, valid)
+            else:
+                batches = train_loader(
+                    dataset,
+                    train_cfg.batch_size,
+                    max_targets=train_cfg.max_targets,
+                    seed=train_cfg.seed + epoch,
+                )
+
+                def to_batch(item):
+                    images, (boxes, labels, landms, valid) = item
+                    return (
+                        images.astype(np.float32),
+                        None,
+                        boxes,
+                        labels,
+                        landms,
+                        valid,
+                    )
 
             # Prefetch keeps host augmentation + H2D transfer overlapped
             # with device compute (the DataLoader pin_memory/num_workers
@@ -287,12 +326,21 @@ def fit(
             for batch in M.prefetch_to_device(
                 map(to_batch, batches), mesh, depth=2
             ):
-                images_d, boxes_d, labels_d, landms_d, valid_d = batch
+                images_d, plan_d, boxes_d, labels_d, landms_d, valid_d = (
+                    batch
+                )
                 targets = losses.Targets(
                     boxes=boxes_d, labels=labels_d, landms=landms_d,
                     valid=valid_d,
                 )
-                state, metrics = step_fn(state, images_d, targets, anchors)
+                if train_cfg.device_augment:
+                    state, metrics = step_fn(
+                        state, images_d, plan_d, targets, anchors
+                    )
+                else:
+                    state, metrics = step_fn(
+                        state, images_d, targets, anchors
+                    )
                 step_losses.append(metrics["loss"])
             nsteps = len(step_losses)
             mean_loss = (

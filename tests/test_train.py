@@ -147,3 +147,57 @@ def test_checkpoint_roundtrip(tmp_path, tiny_cfg, tcfg, rng):
     # partial_load: same tree -> all leaves loaded.
     merged, n = partial_load(template.params, state.params)
     assert n == len(jax.tree_util.tree_leaves(template.params))
+
+
+def test_device_augment_step_spmd(rng, tiny_cfg, tcfg):
+    """Full step with in-graph MXU augmentation, sharded over 8 devices:
+    uint8 sources + per-sample resample plans in, finite loss out."""
+    from jabd_tpu.data import device_augment as DA
+
+    assert jax.device_count() >= 8
+    mesh = M.make_mesh()
+    acfg = dataclasses.replace(
+        tcfg, device_augment=True, augment_bucket=(96, 96)
+    )
+    state = train.create_train_state(
+        jax.random.PRNGKey(0), tiny_cfg, acfg, steps_per_epoch=10,
+        image_size=SIZE,
+    )
+    state = M.replicate_tree(state, mesh)
+    step = train.make_train_step(tiny_cfg, acfg)
+    anchors = jnp.asarray(
+        A.generate_anchors(tiny_cfg.anchors, (SIZE, SIZE))
+    )
+
+    images, parts, tlist = [], [], []
+    for i in range(8):
+        src = rng.integers(0, 255, (70, 80, 3), np.uint8)
+        box = np.zeros((2, 15), np.float32)
+        box[:, :4] = [[8, 8, 40, 40], [20, 30, 60, 70]]
+        box[:, 4:14] = 25.0
+        box[:, 14] = 1.0
+        padded, p, boxes = DA.plan_sample(
+            src, box, SIZE, np.random.default_rng(i), (96, 96)
+        )
+        images.append(padded)
+        parts.append(p)
+        tlist.append(boxes if len(boxes) else box / 80.0)
+    plan = DA.stack_plans(parts)
+    from jabd_tpu.data.wider import batch_targets
+
+    boxes_t, labels_t, landms_t, valid_t = batch_targets(
+        tlist, acfg.max_targets
+    )
+    targets = losses.Targets(
+        boxes=jnp.asarray(boxes_t),
+        labels=jnp.asarray(labels_t),
+        landms=jnp.asarray(landms_t),
+        valid=jnp.asarray(valid_t),
+    )
+
+    images_d = M.shard_batch(jnp.asarray(np.stack(images)), mesh)
+    plan_d = DA.AugmentPlan(*M.shard_batch(tuple(plan), mesh))
+    targets_d = losses.Targets(*M.shard_batch(tuple(targets), mesh))
+    state2, metrics = step(state, images_d, plan_d, targets_d, anchors)
+    assert np.isfinite(float(metrics["loss"]))
+    assert len(images_d.sharding.device_set) == 8
