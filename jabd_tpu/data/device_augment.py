@@ -108,18 +108,28 @@ def _axis_matrix(
     if hi > lo:
         o = np.arange(lo, hi)  # canvas indices covered by the paste
         u = o - offset  # resized-image indices
-        cols = xmin[u][:, None] + np.arange(ksize)[None, :]
-        # add.at: clipped duplicate columns carry zero weight by
-        # construction, so accumulation is collision-safe.
-        np.add.at(
-            m,
-            (o[:, None], np.minimum(cols, in_size - 1)),
-            w[u],
+        cols = np.minimum(
+            xmin[u][:, None] + np.arange(ksize)[None, :], in_size - 1
         )
+        # Rows whose zero-weight tail taps clip onto in_size-1 need
+        # accumulating writes (duplicate columns; numpy fancy assignment
+        # does NOT guarantee write order). Those are only the few
+        # right-edge rows — everything else takes the ~5x faster unique-
+        # column fancy assignment.
+        clipped = xmin[u] > in_size - ksize
+        clean = ~clipped
+        if clean.any():
+            m[o[clean][:, None], cols[clean]] = w[u][clean]
+        if clipped.any():
+            np.add.at(
+                m, (o[clipped][:, None], cols[clipped]), w[u][clipped]
+            )
         inside[lo:hi] = 1.0
     if flip:
-        m = m[::-1].copy()
-        inside = inside[::-1].copy()
+        # Negative-stride views are fine: stack_plans copies at batch
+        # assembly.
+        m = m[::-1]
+        inside = inside[::-1]
     return m, inside
 
 
@@ -171,7 +181,9 @@ def plan_sample(
             Image.fromarray(image_u8).resize((sw, sh), Image.BICUBIC)
         )
         ih, iw = sh, sw
-    padded = np.zeros((bh, bw, 3), np.uint8)
+    # Padding content is never read with nonzero weight (all tap indices
+    # stay inside the source), so skip zero-filling the margins.
+    padded = np.empty((bh, bw, 3), np.uint8)
     padded[:ih, :iw] = image_u8
 
     s = input_size
