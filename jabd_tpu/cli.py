@@ -256,6 +256,7 @@ def cmd_train(args):
         image_size=args.input_size,
         total_epochs=args.epochs,
         freeze_epochs=args.freeze_epochs,
+        device_augment=args.device_augment,
     )
     ds = WiderFaceDataset(args.label_txt, input_size=tcfg.image_size)
     mgr = CheckpointManager(args.ckpt_dir)
@@ -327,6 +328,12 @@ def main(argv=None):
     sp.add_argument("--freeze-epochs", type=int, default=50)
     sp.add_argument("--ckpt-dir", default="checkpoints")
     sp.add_argument("--log-dir", default="logs")
+    sp.add_argument(
+        "--device-augment",
+        action="store_true",
+        help="run get_random_data augmentation on the TPU (MXU resample "
+        "+ fused HSV; host only decodes+pads — see data/device_augment)",
+    )
     sp.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)

@@ -44,93 +44,13 @@ import numpy as np
 
 from jabd_tpu.data import wider
 from jabd_tpu.ops.image import MEANS
+from jabd_tpu.ops.resize import paste_resize_matrix, resample_canvas
 
-_PIL_A = -0.5  # PIL's bicubic coefficient (vs torch/cv2's -0.75)
-_SUPPORT = 2.0
+# Back-compat aliases (tap machinery lives in ops/resize.py, shared with
+# the batched device letterbox).
+from jabd_tpu.ops.resize import pil_bicubic_taps as _pil_taps  # noqa: F401
 
-
-def _pil_bicubic_filter(x: np.ndarray) -> np.ndarray:
-    """Pillow's bicubic kernel (Resample.c bicubic_filter, a=-0.5)."""
-    a = _PIL_A
-    x = np.abs(x)
-    near = ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
-    far = (((x - 5.0) * x + 8.0) * x - 4.0) * a
-    return np.where(x < 1.0, near, np.where(x < 2.0, far, 0.0))
-
-
-def _pil_taps(in_size: int, out_size: int) -> Tuple[np.ndarray, np.ndarray]:
-    """PIL precompute_coeffs: per output index, the first source tap and
-    the normalized antialiased weights.
-
-    Returns (xmin [out], weights [out, ksize]); taps are the contiguous
-    source range xmin..xmin+ksize-1 with trailing zero weights past the
-    window (all indices stay inside [0, in_size))."""
-    scale = in_size / out_size
-    filterscale = max(scale, 1.0)
-    support = _SUPPORT * filterscale
-    ksize = int(np.ceil(support)) * 2 + 1
-
-    center = (np.arange(out_size) + 0.5) * scale
-    xmin = np.clip((center - support + 0.5).astype(np.int64), 0, None)
-    xmax = np.minimum((center + support + 0.5).astype(np.int64), in_size)
-    count = xmax - xmin  # taps per row
-
-    taps = xmin[:, None] + np.arange(ksize)[None, :]
-    w = _pil_bicubic_filter(
-        (taps - center[:, None] + 0.5) / filterscale
-    )
-    w = np.where(np.arange(ksize)[None, :] < count[:, None], w, 0.0)
-    ww = w.sum(axis=1, keepdims=True)
-    w = np.divide(w, ww, out=np.zeros_like(w), where=ww != 0.0)
-    return xmin, w.astype(np.float32)
-
-
-def _axis_matrix(
-    in_size: int,
-    out_len: int,
-    offset: int,
-    canvas: int,
-    bucket: int,
-    flip: bool,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Dense [canvas, bucket] matrix composing PIL bicubic resize
-    (in_size -> out_len) with the paste at `offset` (negative crops) and
-    an optional output flip. Rows outside the pasted span are all-zero;
-    `inside` marks pasted rows (the rest get the 128-gray fill)."""
-    m = np.zeros((canvas, bucket), np.float32)
-    inside = np.zeros((canvas,), np.float32)
-    eff = max(out_len, 1)
-    xmin, w = _pil_taps(in_size, eff)
-    ksize = w.shape[1]
-
-    lo = max(0, offset)
-    hi = min(canvas, offset + eff)
-    if hi > lo:
-        o = np.arange(lo, hi)  # canvas indices covered by the paste
-        u = o - offset  # resized-image indices
-        cols = np.minimum(
-            xmin[u][:, None] + np.arange(ksize)[None, :], in_size - 1
-        )
-        # Rows whose zero-weight tail taps clip onto in_size-1 need
-        # accumulating writes (duplicate columns; numpy fancy assignment
-        # does NOT guarantee write order). Those are only the few
-        # right-edge rows — everything else takes the ~5x faster unique-
-        # column fancy assignment.
-        clipped = xmin[u] > in_size - ksize
-        clean = ~clipped
-        if clean.any():
-            m[o[clean][:, None], cols[clean]] = w[u][clean]
-        if clipped.any():
-            np.add.at(
-                m, (o[clipped][:, None], cols[clipped]), w[u][clipped]
-            )
-        inside[lo:hi] = 1.0
-    if flip:
-        # Negative-stride views are fine: stack_plans copies at batch
-        # assembly.
-        m = m[::-1]
-        inside = inside[::-1]
-    return m, inside
+_axis_matrix = paste_resize_matrix
 
 
 class AugmentPlan(NamedTuple):
@@ -276,27 +196,15 @@ def device_augment(
     decimal digits — ≤1 LSB output effect). float32 selects HIGHEST
     precision for parity testing.
     """
-    b = images_u8.shape[0]
-    x = images_u8.astype(resample_dtype)
-    mv = jnp.asarray(plan.mv, resample_dtype)
-    mh = jnp.asarray(plan.mh, resample_dtype)
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if resample_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
+    y = resample_canvas(
+        images_u8,
+        plan.mv,
+        plan.mh,
+        plan.inside_v,
+        plan.inside_h,
+        fill=128.0,
+        resample_dtype=resample_dtype,
     )
-    # Vertical: [B,S,bh] x [B,bh,bw,3] -> [B,S,bw,3]; PIL clamps each
-    # pass to uint8 range (bicubic overshoot), we clamp without rounding.
-    y = jnp.einsum("brh,bhwc->brwc", mv, x, precision=prec)
-    y = jnp.clip(y, 0.0, 255.0)
-    y = jnp.einsum("bow,brwc->broc", mh, y, precision=prec)
-    y = jnp.clip(jnp.round(y.astype(jnp.float32)), 0.0, 255.0)
-
-    inside = (
-        plan.inside_v.astype(jnp.float32)[:, :, None]
-        * plan.inside_h.astype(jnp.float32)[:, None, :]
-    )[..., None]
-    y = y * inside + 128.0 * (1.0 - inside)
 
     # HSV jitter — the reference's exact op order incl. its H>1 quirk
     # (utils/dataloader.py:105-113, kept verbatim in wider.augment_sample).

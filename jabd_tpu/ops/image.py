@@ -88,6 +88,73 @@ def preprocess_device(images: jnp.ndarray) -> jnp.ndarray:
     return images - jnp.asarray(MEANS, dtype=images.dtype)
 
 
+def plan_letterbox(
+    image_u8: np.ndarray,  # [ih, iw, 3] uint8
+    target_hw: Tuple[int, int],
+    bucket_hw: Tuple[int, int],
+):
+    """Compile ONE image's letterbox into per-sample resample matrices
+    (cv2 INTER_LINEAR semantics, centered paste, fill 84) against a
+    static uint8 source bucket.
+
+    With these, a single jitted graph letterboxes a batch of
+    ARBITRARY-SIZED images — the serving answer to the reference's
+    per-image host cv2 loop (predict.py:144): no recompile per source
+    size, preprocessing fused with the model. Oversize sources are
+    cv2-bilinear pre-shrunk to the bucket (composes; pixel-only effect).
+
+    Returns (padded_u8 [bh, bw, 3], (mv, mh, inside_v, inside_h)).
+    """
+    from jabd_tpu.ops.resize import cv2_bilinear_taps, paste_resize_matrix
+
+    ih, iw = image_u8.shape[:2]
+    th, tw = target_hw
+    bh, bw = bucket_hw
+    if ih > bh or iw > bw:
+        import cv2
+
+        s = min(bh / ih, bw / iw)
+        image_u8 = cv2.resize(
+            image_u8, (max(int(iw * s), 1), max(int(ih * s), 1))
+        )
+        ih, iw = image_u8.shape[:2]
+    _, nh, nw, top, left = letterbox_params((ih, iw), (th, tw))
+    padded = np.empty((bh, bw, 3), np.uint8)
+    padded[:ih, :iw] = image_u8
+
+    mv, inside_v = paste_resize_matrix(
+        ih, nh, top, th, bh, taps=cv2_bilinear_taps
+    )
+    mh, inside_h = paste_resize_matrix(
+        iw, nw, left, tw, bw, taps=cv2_bilinear_taps
+    )
+    return padded, (mv, mh, inside_v, inside_h)
+
+
+def letterbox_batch_device(
+    images_u8: jnp.ndarray,  # [B, bh, bw, 3] uint8 (bucketed sources)
+    mv: jnp.ndarray,  # [B, th, bh]
+    mh: jnp.ndarray,  # [B, tw, bw]
+    inside_v: jnp.ndarray,  # [B, th]
+    inside_h: jnp.ndarray,  # [B, tw]
+    resample_dtype=None,
+) -> jnp.ndarray:
+    """Jit-able: bucketed uint8 sources + plans -> mean-subtracted
+    float32 [B, th, tw, 3] frames ready for the detector (the tensor
+    letterbox_np + preprocess_input_np produce, up to cv2's uint8
+    fixed-point rounding — <=1 grey level)."""
+    y = R.resample_canvas(
+        images_u8,
+        mv,
+        mh,
+        inside_v,
+        inside_h,
+        fill=LETTERBOX_FILL,
+        resample_dtype=resample_dtype or jnp.bfloat16,
+    )
+    return y - jnp.asarray(MEANS, jnp.float32)
+
+
 def correct_boxes_scale_offset(
     input_hw: Tuple[int, int], image_hw: Tuple[int, int]
 ):

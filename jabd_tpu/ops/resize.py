@@ -146,3 +146,155 @@ def adaptive_avg_pool(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     mh = adaptive_avg_pool_matrix(h, oh)
     mw = adaptive_avg_pool_matrix(w, ow)
     return _apply_hw(x, mh, mw)
+
+
+# ---------------------------------------------------------------------------
+# Per-sample tap builders (dynamic in/out sizes, host-built matrices).
+#
+# Unlike resize_matrix above (trace-time constants for sizes known at
+# compile), these serve pipelines where the geometry varies PER SAMPLE
+# (device augmentation, batched heterogeneous letterbox): the host builds
+# a dense [canvas, bucket] matrix per image, the device applies it as a
+# batched MXU contraction. One compile covers any source-size mix.
+# ---------------------------------------------------------------------------
+
+_PIL_A = -0.5  # PIL's bicubic coefficient (vs torch/cv2's -0.75)
+
+
+def _pil_bicubic_filter(x: np.ndarray) -> np.ndarray:
+    """Pillow's bicubic kernel (Resample.c bicubic_filter, a=-0.5)."""
+    a = _PIL_A
+    x = np.abs(x)
+    near = ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+    far = (((x - 5.0) * x + 8.0) * x - 4.0) * a
+    return np.where(x < 1.0, near, np.where(x < 2.0, far, 0.0))
+
+
+def pil_bicubic_taps(
+    in_size: int, out_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """PIL precompute_coeffs: per output index, first source tap +
+    normalized ANTIALIASED weights (support widens on downscale).
+
+    Returns (xmin [out], weights [out, ksize]); taps are the contiguous
+    range xmin..xmin+ksize-1 with trailing zero weights past the window
+    (all real-tap indices stay inside [0, in_size))."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    ksize = int(np.ceil(support)) * 2 + 1
+
+    center = (np.arange(out_size) + 0.5) * scale
+    xmin = np.clip((center - support + 0.5).astype(np.int64), 0, None)
+    xmax = np.minimum((center + support + 0.5).astype(np.int64), in_size)
+    count = xmax - xmin
+
+    taps = xmin[:, None] + np.arange(ksize)[None, :]
+    w = _pil_bicubic_filter((taps - center[:, None] + 0.5) / filterscale)
+    w = np.where(np.arange(ksize)[None, :] < count[:, None], w, 0.0)
+    ww = w.sum(axis=1, keepdims=True)
+    w = np.divide(w, ww, out=np.zeros_like(w), where=ww != 0.0)
+    return xmin, w.astype(np.float32)
+
+
+def cv2_bilinear_taps(
+    in_size: int, out_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """cv2.resize INTER_LINEAR float semantics: half-pixel centers, two
+    taps, NO antialiasing on downscale (what the reference letterbox
+    uses, utils/utils.py:15). Same (xmin, weights) contract as
+    pil_bicubic_taps."""
+    scale = in_size / out_size
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    x0 = np.floor(src).astype(np.int64)
+    t = (src - x0).astype(np.float32)
+    # Edge clamp: out-of-range taps collapse onto the border pixel.
+    lo = np.clip(x0, 0, in_size - 1)
+    hi = np.clip(x0 + 1, 0, in_size - 1)
+    xmin = np.minimum(lo, hi)
+    w = np.zeros((out_size, 2), np.float32)
+    np.add.at(w, (np.arange(out_size), lo - xmin), 1.0 - t)
+    np.add.at(w, (np.arange(out_size), hi - xmin), t)
+    return xmin, w
+
+
+def paste_resize_matrix(
+    in_size: int,
+    out_len: int,
+    offset: int,
+    canvas: int,
+    bucket: int,
+    flip: bool = False,
+    taps=pil_bicubic_taps,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense [canvas, bucket] matrix composing a resize (in_size ->
+    out_len, semantics from `taps`) with a paste at `offset` (negative
+    crops) and an optional output flip. Rows outside the pasted span are
+    all-zero; `inside` marks pasted rows (callers add the gray fill)."""
+    m = np.zeros((canvas, bucket), np.float32)
+    inside = np.zeros((canvas,), np.float32)
+    eff = max(out_len, 1)
+    xmin, w = taps(in_size, eff)
+    ksize = w.shape[1]
+
+    lo = max(0, offset)
+    hi = min(canvas, offset + eff)
+    if hi > lo:
+        o = np.arange(lo, hi)  # canvas indices covered by the paste
+        u = o - offset  # resized-image indices
+        cols = np.minimum(
+            xmin[u][:, None] + np.arange(ksize)[None, :], in_size - 1
+        )
+        # Rows whose zero-weight tail taps clip onto in_size-1 need
+        # accumulating writes (duplicate columns; numpy fancy assignment
+        # does NOT guarantee write order). Those are only the few
+        # right-edge rows — everything else takes the ~5x faster unique-
+        # column fancy assignment.
+        clipped = xmin[u] > in_size - ksize
+        clean = ~clipped
+        if clean.any():
+            m[o[clean][:, None], cols[clean]] = w[u][clean]
+        if clipped.any():
+            np.add.at(
+                m, (o[clipped][:, None], cols[clipped]), w[u][clipped]
+            )
+        inside[lo:hi] = 1.0
+    if flip:
+        # Negative-stride views are fine: batch assembly copies.
+        m = m[::-1]
+        inside = inside[::-1]
+    return m, inside
+
+
+def resample_canvas(
+    images_u8: jnp.ndarray,  # [B, bucket_h, bucket_w, 3] uint8
+    mv: jnp.ndarray,  # [B, S, bucket_h]
+    mh: jnp.ndarray,  # [B, S, bucket_w]
+    inside_v: jnp.ndarray,  # [B, S]
+    inside_h: jnp.ndarray,  # [B, S]
+    fill: float,
+    resample_dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Apply per-sample separable resample+paste matrices and the gray
+    fill: returns float32 [B, S, S, 3] in [0, 255]. Shared by device
+    augmentation (fill 128) and batched device letterbox (fill 84)."""
+    x = images_u8.astype(resample_dtype)
+    mv = jnp.asarray(mv, resample_dtype)
+    mh = jnp.asarray(mh, resample_dtype)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if resample_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    # Vertical: [B,S,bh] x [B,bh,bw,3] -> [B,S,bw,3]; PIL clamps each
+    # pass to uint8 range (bicubic overshoot), we clamp without rounding.
+    y = jnp.einsum("brh,bhwc->brwc", mv, x, precision=prec)
+    y = jnp.clip(y, 0.0, 255.0)
+    y = jnp.einsum("bow,brwc->broc", mh, y, precision=prec)
+    y = jnp.clip(jnp.round(y.astype(jnp.float32)), 0.0, 255.0)
+
+    inside = (
+        inside_v.astype(jnp.float32)[:, :, None]
+        * inside_h.astype(jnp.float32)[:, None, :]
+    )[..., None]
+    return y * inside + fill * (1.0 - inside)

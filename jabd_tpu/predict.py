@@ -115,6 +115,9 @@ def detect_batch(
     return jax.vmap(compact)(keep, cand_boxes, top_sc, cand_landms)
 
 
+_letterbox_batch_jit = jax.jit(I.letterbox_batch_device)
+
+
 class Predictor:
     """App-level predictor (the reference `Retinaface` class, predict.py:24).
 
@@ -173,6 +176,70 @@ class Predictor:
             variances=self.mcfg.anchors.variance,
             use_pallas=self.use_pallas,
         )
+
+    def detect_images(self, images) -> list:
+        """Batched detection over ARBITRARY-SIZED uint8 images with ONE
+        compiled graph: per-image letterbox runs on-device as per-sample
+        resample matrices against a static source bucket
+        (ops/image.py::plan_letterbox), fused with the model + NMS.
+
+        The reference serves dir_predict one image at a time through a
+        host cv2 letterbox (predict.py:527-544); this path batches
+        mixed-resolution inputs without per-size recompiles. Pixels
+        differ from the byte-exact host letterbox only by cv2's uint8
+        fixed-point rounding. Returns a list of [N_i, 15] pixel-space
+        dets.
+        """
+        if not len(images):
+            return []
+        th, tw = self.pcfg.input_shape
+        bh = max(i.shape[0] for i in images)
+        bw = max(i.shape[1] for i in images)
+        # Bucket to a lane-friendly size (and cap: larger sources are
+        # pre-shrunk — detail past the letterbox target is lost anyway).
+        bh = min(-(-bh // 128) * 128, 2048)
+        bw = min(-(-bw // 128) * 128, 2048)
+
+        padded, parts = zip(
+            *(I.plan_letterbox(im, (th, tw), (bh, bw)) for im in images)
+        )
+        mv, mh, iv, ih_ = (np.stack(p) for p in zip(*parts))
+        frames = _letterbox_batch_jit(
+            jnp.asarray(np.stack(padded)),
+            jnp.asarray(mv),
+            jnp.asarray(mh),
+            jnp.asarray(iv),
+            jnp.asarray(ih_),
+        )
+        dets_b, valid_b = detect_batch(
+            self._apply,
+            self.variables,
+            frames,
+            self._anchors_for((th, tw)),
+            self.pcfg,
+            variances=self.mcfg.anchors.variance,
+            use_pallas=self.use_pallas,
+        )
+        out = []
+        for i, image in enumerate(images):
+            ihh, iww = image.shape[:2]
+            dets = np.asarray(dets_b[i])[np.asarray(valid_b[i])]
+            if len(dets) == 0:
+                out.append(np.zeros((0, 15), np.float32))
+                continue
+            (ox, oy), (sx, sy) = I.correct_boxes_scale_offset(
+                (th, tw), (ihh, iww)
+            )
+            dets[:, [0, 2]] = (dets[:, [0, 2]] - ox) * sx
+            dets[:, [1, 3]] = (dets[:, [1, 3]] - oy) * sy
+            dets[:, 5::2] = (dets[:, 5::2] - ox) * sx
+            dets[:, 6::2] = (dets[:, 6::2] - oy) * sy
+            dets[:, [0, 2]] *= iww
+            dets[:, [1, 3]] *= ihh
+            dets[:, 5::2] *= iww
+            dets[:, 6::2] *= ihh
+            out.append(dets)
+        return out
 
     def detect_image(self, image: np.ndarray) -> np.ndarray:
         """Single [H, W, 3] uint8/float image -> [N, 15] pixel-space dets

@@ -4,14 +4,34 @@ First compiles through the remote-TPU tunnel cost 1-7 minutes per
 (model, shape); the persistent cache makes every later process start
 warm (ROADMAP round-1 item #10). Call enable() before the first jit —
 every CLI entry point does. jax keys cache entries by HLO+flags+backend
-hash, so stale hits are not a correctness concern.
+hash, so stale hits are not a correctness concern — EXCEPT the host
+microarchitecture: XLA:CPU persists AOT machine code specialized to the
+compiling host's CPU features, and loading it on a different host can
+SIGILL (observed: a cached avx512 artifact crashing the test suite on a
+non-avx512 box). The cache directory is therefore keyed by a hash of
+/proc/cpuinfo flags so each host microarchitecture gets its own cache.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 DEFAULT_DIR = os.path.expanduser("~/.cache/jabd_tpu_xla")
+
+
+def _host_key() -> str:
+    """Short stable key for this host's CPU feature set."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
 
 
 def enable(cache_dir: str | None = None) -> str:
@@ -23,6 +43,7 @@ def enable(cache_dir: str | None = None) -> str:
         or os.environ.get("JABD_COMPILE_CACHE")
         or DEFAULT_DIR
     )
+    path = os.path.join(path, _host_key())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # Cache everything that took noticeable compile time (default only

@@ -58,8 +58,11 @@ def bench_config(batch: int, remat: bool, size: int = 840, iters: int = 5):
         valid=jnp.asarray(valid),
     )
 
+    # Inputs as ARGUMENTS, not closures: closed-over arrays are embedded
+    # in the HLO as constants and the remote compile service rejects the
+    # ~100MB upload (HTTP 413).
     @jax.jit
-    def chained(state, n):
+    def chained(state, images, targets, n):
         def body(_, carry):
             st, acc = carry
             st, metrics = raw_step(st, images, targets, anchors)
@@ -67,10 +70,10 @@ def bench_config(batch: int, remat: bool, size: int = 840, iters: int = 5):
 
         return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
 
-    _, warm = chained(state, 1)
+    _, warm = chained(state, images, targets, 1)
     float(np.asarray(warm))
     t0 = time.perf_counter()
-    _, acc = chained(state, iters)
+    _, acc = chained(state, images, targets, iters)
     float(np.asarray(acc))
     dt = time.perf_counter() - t0
     per = dt / iters

@@ -1,0 +1,121 @@
+"""Batched heterogeneous-size device letterbox vs the byte-exact host
+path (ops/image.py::letterbox_np)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jabd_tpu.ops import image as I
+from jabd_tpu.ops.resize import cv2_bilinear_taps
+
+
+def _smooth(rng, h, w):
+    import cv2
+
+    x = rng.integers(0, 255, (h, w, 3), np.uint8)
+    return cv2.GaussianBlur(x, (0, 0), 1.2)
+
+
+def test_cv2_bilinear_taps_match_cv2_resize():
+    import cv2
+
+    rng = np.random.default_rng(0)
+    img = _smooth(rng, 80, 100)
+    for ow, oh in [(50, 40), (211, 159), (100, 80), (7, 5)]:
+        ref = cv2.resize(img, (ow, oh)).astype(np.float64)
+        xv, wv = cv2_bilinear_taps(img.shape[0], oh)
+        xh, wh = cv2_bilinear_taps(img.shape[1], ow)
+        mv = np.zeros((oh, img.shape[0]))
+        mh = np.zeros((ow, img.shape[1]))
+        for r in range(oh):
+            for k in range(2):
+                mv[r, min(xv[r] + k, img.shape[0] - 1)] += wv[r, k]
+        for r in range(ow):
+            for k in range(2):
+                mh[r, min(xh[r] + k, img.shape[1] - 1)] += wh[r, k]
+        ours = np.einsum("rh,hwc->rwc", mv, img.astype(np.float64))
+        ours = np.einsum("ow,rwc->roc", mh, ours)
+        err = np.abs(np.round(ours) - ref).max()
+        # cv2 uint8 path uses 11-bit fixed-point taps
+        assert err <= 2.0, f"{ow}x{oh}: {err}"
+
+
+@pytest.mark.parametrize("shape", [(96, 128), (128, 96), (64, 64), (200, 40)])
+def test_plan_letterbox_close_to_host(shape):
+    rng = np.random.default_rng(1)
+    img = _smooth(rng, *shape)
+    target = (96, 96)  # (h, w)
+    host = I.preprocess_input_np(
+        I.letterbox_np(img, (target[1], target[0]))
+    )
+    padded, parts = I.plan_letterbox(img, target, (256, 256))
+    out = np.asarray(
+        I.letterbox_batch_device(
+            jnp.asarray(padded[None]),
+            jnp.asarray(parts[0][None]),
+            jnp.asarray(parts[1][None]),
+            jnp.asarray(parts[2][None]),
+            jnp.asarray(parts[3][None]),
+            resample_dtype=jnp.float32,
+        )[0]
+    )
+    err = np.abs(out - host)
+    assert err.mean() <= 0.5, err.mean()
+    assert (err.max(-1) > 4).mean() <= 0.005
+
+
+def test_oversize_source_pre_shrinks():
+    rng = np.random.default_rng(2)
+    img = _smooth(rng, 300, 500)
+    padded, parts = I.plan_letterbox(img, (128, 128), (256, 256))
+    assert padded.shape == (256, 256, 3)
+    out = I.letterbox_batch_device(
+        jnp.asarray(padded[None]),
+        *(jnp.asarray(p[None]) for p in parts),
+    )
+    assert out.shape == (1, 128, 128, 3)
+
+
+@pytest.mark.slow
+def test_predictor_detect_images_mixed_sizes():
+    """One compiled graph serves mixed-resolution inputs; identity-resize
+    case (source == target) must EXACTLY match detect_image."""
+    import dataclasses
+    import jax
+
+    from jabd_tpu import configs
+    from jabd_tpu.models import build_model
+    from jabd_tpu.predict import Predictor
+
+    mcfg = dataclasses.replace(
+        configs.get_model_config("mnet_v3_plain"), compute_dtype="float32"
+    )
+    model = build_model(mcfg, mode="eval")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+    )
+    pcfg = configs.PredictConfig(
+        confidence=0.02, input_shape=(128, 128), pre_nms_topk=256,
+        max_detections=64,
+    )
+    pred = Predictor(mcfg, variables, pcfg, use_pallas=False, fold_bn=True)
+
+    rng = np.random.default_rng(3)
+    imgs = [
+        _smooth(rng, 128, 128),  # identity resize: byte-exact letterbox
+        _smooth(rng, 97, 211),
+        _smooth(rng, 256, 192),
+    ]
+    outs = pred.detect_images(imgs)
+    assert len(outs) == 3
+    for o in outs:
+        assert o.ndim == 2 and o.shape[1] == 15
+
+    # identity case: device letterbox == host letterbox byte-exactly
+    # (resample matrix is a permutation), so the detection set must
+    # match — up to f32 reassociation from running at batch 3 vs 1
+    # (~1e-4 in pixel coords).
+    single = pred.detect_image(imgs[0])
+    assert outs[0].shape == single.shape
+    np.testing.assert_allclose(outs[0], single, rtol=0, atol=2e-3)
