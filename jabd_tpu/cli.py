@@ -121,12 +121,19 @@ def cmd_predict(args):
 
 
 def cmd_dir_predict(args):
-    """predict.py:527-544 dir_predict mode."""
+    """predict.py:527-544 dir_predict mode.
+
+    --batch-size > 1 uses Predictor.detect_images: mixed-resolution
+    images are letterboxed ON-DEVICE (per-sample resample matrices) and
+    detected through one compiled graph per batch — no per-size
+    recompiles like per-image static letterboxing would cost.
+    """
     import cv2
 
     pred = _load_predictor(args)
     os.makedirs(args.out, exist_ok=True)
     exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+    names, imgs = [], []
     for name in sorted(os.listdir(args.input_dir)):
         if not name.lower().endswith(exts):
             continue
@@ -134,9 +141,20 @@ def cmd_dir_predict(args):
         if img is None:
             print(f"[skip] unreadable image {name}")
             continue
-        dets = pred.detect_image(img)
-        cv2.imwrite(os.path.join(args.out, name), _draw(img, dets))
-        print(name, len(dets))
+        names.append(name)
+        imgs.append(img)
+
+    bs = max(args.batch_size, 1)
+    for i in range(0, len(names), bs):
+        chunk_names = names[i : i + bs]
+        chunk = imgs[i : i + bs]
+        if bs == 1:
+            dets_list = [pred.detect_image(chunk[0])]
+        else:
+            dets_list = pred.detect_images(chunk)
+        for name, img, dets in zip(chunk_names, chunk, dets_list):
+            cv2.imwrite(os.path.join(args.out, name), _draw(img, dets))
+            print(name, len(dets))
 
 
 def cmd_video(args):
@@ -288,6 +306,13 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--input-dir", required=True)
     sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--batch-size",
+        type=int,
+        default=1,
+        help=">1 batches mixed-size images through one compiled graph "
+        "(on-device letterbox)",
+    )
     sp.set_defaults(fn=cmd_dir_predict)
 
     sp = sub.add_parser("video")

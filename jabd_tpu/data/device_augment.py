@@ -40,6 +40,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from jabd_tpu.data import wider
@@ -113,12 +114,20 @@ def plan_sample(
     return padded, (mv, mh, inside_v, inside_h, hsv), boxes
 
 
-def stack_plans(parts: Sequence[Tuple]) -> AugmentPlan:
-    """Stack per-sample plan tuples into one AugmentPlan batch."""
+def stack_plans(
+    parts: Sequence[Tuple], matrix_dtype=None
+) -> AugmentPlan:
+    """Stack per-sample plan tuples into one AugmentPlan batch.
+
+    matrix_dtype: storage dtype for the resample matrices. The device
+    casts them to its resample dtype anyway, so the production loader
+    ships bfloat16 (halves the plan H2D bytes with zero effect on the
+    bf16 compute path); parity tests keep float32."""
     mv, mh, iv, ih_, hsv = zip(*parts)
+    mdt = matrix_dtype or np.float32
     return AugmentPlan(
-        mv=np.stack(mv),
-        mh=np.stack(mh),
+        mv=np.stack(mv).astype(mdt),
+        mh=np.stack(mh).astype(mdt),
         inside_v=np.stack(iv),
         inside_h=np.stack(ih_),
         hsv=np.stack(hsv),
@@ -289,7 +298,10 @@ def device_train_loader(
             while len(results) < batch_size:
                 results.append(results[len(results) % len(results)])
             images = np.stack([r[0] for r in results])
-            plan = stack_plans([r[1] for r in results])
+            plan = stack_plans(
+                [r[1] for r in results],
+                matrix_dtype=ml_dtypes.bfloat16,
+            )
             tgts = wider.batch_targets(
                 [r[2] for r in results], max_targets
             )

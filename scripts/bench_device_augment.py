@@ -70,12 +70,14 @@ def main(batch=34, size=840, bucket=1024, iters=5):
     plan_d = jax.tree_util.tree_map(jnp.asarray, plan)
 
     # 2. device augment alone (chained)
+    # Consume the FULL output: a partial consumer (e.g. y[0,0,0]) lets
+    # XLA dead-code-eliminate most of the augment and reports fantasy.
     @jax.jit
     def chained_aug(x, plan, nit):
         def body(_, carry):
             acc, = carry
             y = DA.device_augment(x, plan)
-            return (acc + jnp.sum(y[0, 0, 0]),)
+            return (acc + jnp.sum(y).astype(jnp.float32),)
 
         return jax.lax.fori_loop(0, nit, body, (jnp.float32(0),))[0]
 
