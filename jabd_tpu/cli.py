@@ -133,25 +133,36 @@ def cmd_dir_predict(args):
     pred = _load_predictor(args)
     os.makedirs(args.out, exist_ok=True)
     exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
-    names, imgs = [], []
-    for name in sorted(os.listdir(args.input_dir)):
-        if not name.lower().endswith(exts):
-            continue
-        img = cv2.imread(os.path.join(args.input_dir, name))
-        if img is None:
-            print(f"[skip] unreadable image {name}")
-            continue
-        names.append(name)
-        imgs.append(img)
+    names = [
+        n
+        for n in sorted(os.listdir(args.input_dir))
+        if n.lower().endswith(exts)
+    ]
 
     bs = max(args.batch_size, 1)
     for i in range(0, len(names), bs):
-        chunk_names = names[i : i + bs]
-        chunk = imgs[i : i + bs]
+        # Decode per chunk (not the whole directory) — peak host memory
+        # stays at bs images.
+        chunk_names, chunk = [], []
+        for name in names[i : i + bs]:
+            img = cv2.imread(os.path.join(args.input_dir, name))
+            if img is None:
+                print(f"[skip] unreadable image {name}")
+                continue
+            chunk_names.append(name)
+            chunk.append(img)
+        if not chunk:
+            continue
         if bs == 1:
             dets_list = [pred.detect_image(chunk[0])]
         else:
-            dets_list = pred.detect_images(chunk)
+            # Pad the tail chunk to the full batch size (repeat the last
+            # image, discard its dets): a smaller final batch would
+            # force a fresh XLA compile — minutes through the tunnel.
+            n = len(chunk)
+            dets_list = pred.detect_images(
+                chunk + [chunk[-1]] * (bs - n)
+            )[:n]
         for name, img, dets in zip(chunk_names, chunk, dets_list):
             cv2.imwrite(os.path.join(args.out, name), _draw(img, dets))
             print(name, len(dets))

@@ -295,8 +295,10 @@ def device_train_loader(
                     results.append((padded, parts, boxes))
             if not results:
                 continue
+            n_live = len(results)
             while len(results) < batch_size:
-                results.append(results[len(results) % len(results)])
+                # Round-robin over the surviving samples.
+                results.append(results[(len(results) - n_live) % n_live])
             images = np.stack([r[0] for r in results])
             plan = stack_plans(
                 [r[1] for r in results],

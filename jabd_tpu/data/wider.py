@@ -309,8 +309,10 @@ def train_loader(
             results = [(im, t) for im, t in results if len(t) > 0]
             if not results:
                 continue
+            n_live = len(results)
             while len(results) < batch_size:
-                results.append(results[len(results) % max(len(results), 1)])
+                # Round-robin over the surviving samples.
+                results.append(results[(len(results) - n_live) % n_live])
             images = np.stack([im for im, _ in results])
             tgts = batch_targets([t for _, t in results], max_targets)
             yield images, tgts

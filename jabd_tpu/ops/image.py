@@ -92,6 +92,7 @@ def plan_letterbox(
     image_u8: np.ndarray,  # [ih, iw, 3] uint8
     target_hw: Tuple[int, int],
     bucket_hw: Tuple[int, int],
+    letterbox: bool = True,
 ):
     """Compile ONE image's letterbox into per-sample resample matrices
     (cv2 INTER_LINEAR semantics, centered paste, fill 84) against a
@@ -118,7 +119,12 @@ def plan_letterbox(
             image_u8, (max(int(iw * s), 1), max(int(ih * s), 1))
         )
         ih, iw = image_u8.shape[:2]
-    _, nh, nw, top, left = letterbox_params((ih, iw), (th, tw))
+    if letterbox:
+        _, nh, nw, top, left = letterbox_params((ih, iw), (th, tw))
+    else:
+        # PredictConfig.letterbox=False: plain aspect-breaking cv2
+        # resize to the target (predict.py's else-branch).
+        nh, nw, top, left = th, tw, 0, 0
     padded = np.empty((bh, bw, 3), np.uint8)
     padded[:ih, :iw] = image_u8
 

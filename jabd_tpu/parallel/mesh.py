@@ -58,7 +58,10 @@ def init_distributed(
             **kwargs,
         )
     except RuntimeError as e:
-        if "already" in str(e).lower():
+        # jax <=0.4 raises "...already initialized"; jax 0.9 raises
+        # "distributed.initialize should only be called once."
+        msg = str(e).lower()
+        if "already" in msg or "only be called once" in msg:
             return
         raise
 

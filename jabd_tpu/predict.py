@@ -201,7 +201,12 @@ class Predictor:
         bw = min(-(-bw // 128) * 128, 2048)
 
         padded, parts = zip(
-            *(I.plan_letterbox(im, (th, tw), (bh, bw)) for im in images)
+            *(
+                I.plan_letterbox(
+                    im, (th, tw), (bh, bw), letterbox=self.pcfg.letterbox
+                )
+                for im in images
+            )
         )
         mv, mh, iv, ih_ = (np.stack(p) for p in zip(*parts))
         frames = _letterbox_batch_jit(
@@ -227,13 +232,14 @@ class Predictor:
             if len(dets) == 0:
                 out.append(np.zeros((0, 15), np.float32))
                 continue
-            (ox, oy), (sx, sy) = I.correct_boxes_scale_offset(
-                (th, tw), (ihh, iww)
-            )
-            dets[:, [0, 2]] = (dets[:, [0, 2]] - ox) * sx
-            dets[:, [1, 3]] = (dets[:, [1, 3]] - oy) * sy
-            dets[:, 5::2] = (dets[:, 5::2] - ox) * sx
-            dets[:, 6::2] = (dets[:, 6::2] - oy) * sy
+            if self.pcfg.letterbox:
+                (ox, oy), (sx, sy) = I.correct_boxes_scale_offset(
+                    (th, tw), (ihh, iww)
+                )
+                dets[:, [0, 2]] = (dets[:, [0, 2]] - ox) * sx
+                dets[:, [1, 3]] = (dets[:, [1, 3]] - oy) * sy
+                dets[:, 5::2] = (dets[:, 5::2] - ox) * sx
+                dets[:, 6::2] = (dets[:, 6::2] - oy) * sy
             dets[:, [0, 2]] *= iww
             dets[:, [1, 3]] *= ihh
             dets[:, 5::2] *= iww

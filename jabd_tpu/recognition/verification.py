@@ -22,11 +22,14 @@ def fuse_features_with_norm(
     stacked_embeddings: np.ndarray, stacked_norms: np.ndarray
 ):
     """[F, B, D] embeddings + [F, B, 1] norms -> norm-weighted sum,
-    re-normalized (utils.py:20-29)."""
-    assert stacked_embeddings.ndim == 3
-    assert stacked_norms.ndim == 3
-    fused = (stacked_embeddings * stacked_norms).sum(axis=0)
-    return l2_norm(fused, axis=1)
+    re-normalized (utils.py:20-29). Thin alias of the general fusion in
+    identification.py (its 'pre_norm_vector_add' method is this exact
+    recipe) so the computation lives in one place."""
+    from jabd_tpu.recognition import identification as ID
+
+    return ID.fuse_features_with_norm(
+        stacked_embeddings, stacked_norms, "pre_norm_vector_add"
+    )
 
 
 def calculate_accuracy(threshold, dist, actual_issame):
