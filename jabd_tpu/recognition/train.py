@@ -125,7 +125,9 @@ def make_train_step(model: N.IRBackbone, head):
         acc = jnp.mean(jnp.argmax(logits, -1) == labels)
         return ce, (new_bs, acc)
 
-    @jax.jit
+    # Donate the state (44M-param backbone + 70k-class head + Adam
+    # moments): avoids a transient 2x state copy per dispatch.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: RecTrainState, images, labels, rng):
         (loss, (new_bs, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -161,7 +161,10 @@ def make_train_step(
         loss = losses.total_loss(parts, train_cfg.loc_weight)
         return loss, (parts, mut["batch_stats"])
 
-    @jax.jit
+    # Donate the state: the optimizer update writes new params/opt
+    # buffers — without donation every dispatch transiently holds two
+    # copies of the state and pays the extra HBM writes.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, images, targets, anchors):
         (loss, (parts, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -175,7 +178,7 @@ def make_train_step(
 
     from jabd_tpu.data.device_augment import device_augment
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def aug_step(state: TrainState, images_u8, plan, targets, anchors):
         # Augmentation (MXU resample + fused HSV) runs inside the SAME
         # device program as fwd/bwd/update — XLA overlaps it with the
