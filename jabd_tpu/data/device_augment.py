@@ -259,14 +259,24 @@ def device_train_loader(
     cost) and duplicates samples exactly like the host loader."""
     import concurrent.futures as cf
 
-    from PIL import Image
-
     order = np.random.default_rng(seed).permutation(len(dataset))
     pool = cf.ThreadPoolExecutor(max_workers=num_workers)
 
     def load_raw(idx):
-        img = Image.open(dataset.imgs_path[int(idx)]).convert("RGB")
-        return np.asarray(img, np.uint8)
+        # cv2 (libjpeg-turbo) decodes ~2x faster than PIL — and decode
+        # is the dominant host cost in device-augment mode. The
+        # byte-exact host pipeline (WiderFaceDataset.get) keeps PIL;
+        # decoder rounding (<=1 LSB on rare pixels) is irrelevant to
+        # augmentation input.
+        import cv2
+
+        bgr = cv2.imread(dataset.imgs_path[int(idx)], cv2.IMREAD_COLOR)
+        if bgr is None:  # non-JPEG/odd file: PIL fallback
+            from PIL import Image
+
+            img = Image.open(dataset.imgs_path[int(idx)]).convert("RGB")
+            return np.asarray(img, np.uint8)
+        return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
 
     def make(idx, raw, attempt=0):
         rng = np.random.default_rng(

@@ -149,3 +149,25 @@ def test_fit_auto_resume(tmp_path, wider_tree, tiny_cfg):  # noqa: F811
                       checkpoint_manager=mgr)
     assert mgr.latest_step() == 2
     assert int(state.step) >= 2
+
+
+def test_fit_device_augment_epoch(tmp_path, wider_tree, tiny_cfg):  # noqa: F811
+    """fit() with TrainConfig.device_augment: device loader -> plan
+    batches -> prefetch -> jitted augment+train steps."""
+    from jabd_tpu.data import WiderFaceDataset
+
+    ds = WiderFaceDataset(wider_tree, input_size=SIZE)
+    tcfg = configs.TrainConfig(
+        batch_size=2,
+        image_size=SIZE,
+        freeze_epochs=0,
+        total_epochs=1,
+        max_targets=8,
+        device_augment=True,
+        augment_bucket=(128, 128),
+    )
+    state = train.fit(
+        tiny_cfg, tcfg, ds, log_dir=str(tmp_path / "logs_da")
+    )
+    assert state is not None
+    assert int(state.step) >= 1
