@@ -122,8 +122,11 @@ def multibox_loss(
     gathered = jnp.take_along_axis(
         conf_data, conf_t_cls[..., None], axis=-1
     )[..., 0]
-    loss_rank = B.log_sum_exp(conf_data)[..., 0] - gathered
-    loss_rank = jnp.where(pos, 0.0, loss_rank)  # positives excluded (:264)
+    # lse - conf[target] IS the per-anchor cross-entropy
+    # (-log_softmax gathered at the target) — computed once, used both
+    # as the mining rank loss (:261) and the final CE (:287).
+    ce = B.log_sum_exp(conf_data)[..., 0] - gathered
+    loss_rank = jnp.where(pos, 0.0, ce)  # positives excluded (:264)
 
     # Double-argsort rank trick (:270-271), vmapped per image. (A
     # sort+scatter formulation was measured SLOWER on TPU — argsort of an
@@ -135,8 +138,6 @@ def multibox_loss(
     neg = idx_rank < num_neg  # [B, P]
 
     # Cross-entropy over pos + neg (:287-293), dense masked form.
-    logp = jax.nn.log_softmax(conf_data, axis=-1)
-    ce = -jnp.take_along_axis(logp, conf_t_cls[..., None], axis=-1)[..., 0]
     sel = pos | neg
     loss_c = jnp.sum(jnp.where(sel, ce, 0.0))
 

@@ -40,6 +40,16 @@ def _fold_into(conv: Dict[str, Any], bn_p, bn_s) -> Dict[str, Any]:
     return {"kernel": kernel, "bias": bias}
 
 
+def _to_dict(tree):
+    """Recursively convert Mapping subtrees (e.g. flax FrozenDict) to
+    plain dicts so _walk's isinstance(dict) structure checks hold."""
+    import collections.abc
+
+    if isinstance(tree, collections.abc.Mapping):
+        return {k: _to_dict(v) for k, v in tree.items()}
+    return tree
+
+
 def _is_leafdict(d) -> bool:
     return isinstance(d, dict) and any(
         not isinstance(v, dict) for v in d.values()
@@ -99,7 +109,12 @@ def fold_batchnorm(variables, cast: Optional[Any] = None):
     identical to Flax's runtime param cast, but halves the HBM weight
     traffic per step.
     """
-    variables = jax.tree_util.tree_map(lambda x: x, dict(variables))
+    # Normalize FrozenDict (or any Mapping) trees to plain dicts first:
+    # _walk's isinstance(v, dict) checks would otherwise pass FrozenDict
+    # subtrees through UNFOLDED silently.
+    variables = jax.tree_util.tree_map(
+        lambda x: x, {k: _to_dict(v) for k, v in dict(variables).items()}
+    )
     params = dict(variables["params"])
     stats = dict(variables.get("batch_stats", {}))
     folded = _walk(params, stats)

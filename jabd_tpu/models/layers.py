@@ -138,10 +138,18 @@ def _spatial_mean(x):
 def _spatial_stdv(x):
     """Per-channel spatial standard deviation (the "GAI"/contrast
     statistic) — nets/mobilenetV3.py:350-360. Population variance
-    (divide by H*W), sqrt without eps, exactly as the reference."""
+    (divide by H*W), sqrt without eps, exactly as the reference.
+
+    Gradient guard: d sqrt/d var is inf at var == 0, and a spatially
+    constant channel (e.g. a dead hswish channel, exactly 0 everywhere)
+    hits it — autodiff's inf * 0 then NaN-poisons every gradient. The
+    where-branch keeps the forward bit-identical (sqrt(0) = 0) while
+    the backward of the 0-branch is exactly 0. (The torch reference has
+    the same hazard; parity is forward-only.)"""
     mean = jnp.mean(x, axis=(1, 2), keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=(1, 2))
-    return jnp.sqrt(var)  # [B, C]
+    var_safe = jnp.where(var == 0, 1.0, var)
+    return jnp.where(var == 0, 0.0, jnp.sqrt(var_safe))  # [B, C]
 
 
 class ECA(nn.Module):

@@ -200,4 +200,19 @@ class RetinaFace(nn.Module):
 
 
 def build_model(cfg: ModelConfig, mode: str = "train") -> RetinaFace:
+    if (
+        cfg.backbone == "mobilenet_v3_large"
+        and cfg.num_levels == 4
+        and cfg.backbone_block_attention == "eca_g"
+    ):
+        # _ECAG_BLOCKS (stage, block) indices encode the reference's
+        # 3-stage split (MobileNetV3_Large_ecaG); under the 4-stage
+        # split they would land on different physical blocks — no
+        # reference variant combines ecaG bottlenecks with the 4-level
+        # pyramid, so refuse rather than silently mismatch.
+        raise ValueError(
+            "backbone_block_attention='eca_g' is defined for the "
+            "3-level MobileNetV3 split only (no 4-level ecaG variant "
+            "exists in the reference)"
+        )
     return RetinaFace(cfg=cfg, mode=mode)

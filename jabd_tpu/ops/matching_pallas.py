@@ -78,8 +78,12 @@ def _kernel(truths_ref, pcols_ref, bt_ov_ref, bt_ix_ref, gmax_ref,
         iou = inter / jnp.where(union > 0, union, 1.0)
         iou = jnp.where(tvalid, iou, -1.0)  # [8, tile]
 
-        # Tournament over the 8 sublanes keeping (val, gt_idx); earlier
-        # gt wins ties (strict '>'), preserving jnp.argmax semantics.
+        # Tournament over the 8 sublanes keeping (val, gt_idx). argmax
+        # semantics need the LOWEST index among tied maxima — a strict
+        # '>' alone is not enough once winners from different pairing
+        # branches meet (e.g. ties at sublanes 2 and 4 pair 4 against
+        # the round-1 winner of (0,4) and '>' would keep 4), so ties
+        # compare the carried indices explicitly.
         vals = iou
         idxs = jnp.broadcast_to(g0 + sub, (8, tile))
         for half in (4, 2, 1):
@@ -87,7 +91,7 @@ def _kernel(truths_ref, pcols_ref, bt_ov_ref, bt_ix_ref, gmax_ref,
             hi_i = idxs[half : 2 * half, :]
             lo_v = vals[:half, :]
             lo_i = idxs[:half, :]
-            take = hi_v > lo_v
+            take = (hi_v > lo_v) | ((hi_v == lo_v) & (hi_i < lo_i))
             vals = jnp.where(take, hi_v, lo_v)
             idxs = jnp.where(take, hi_i, lo_i)
         best_v = vals[0:1, :]

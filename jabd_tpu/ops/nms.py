@@ -128,8 +128,13 @@ def nms(
     sboxes = boxes[order]
     svalid = valid[order]
     keep = nms_keep_sorted(sboxes, svalid, iou_threshold, kind, beta1)
+    return compact_keep(keep, order, max_out)
 
-    # Compact kept entries (already in score order) into [max_out].
+def compact_keep(keep, order, max_out: int):
+    """Compact kept entries (already in score order) into [max_out].
+
+    Shared tail of nms() and nms_pallas(): returns (indices [max_out]
+    into the ORIGINAL (pre-sort) array via `order`, valid [max_out])."""
     pos = jnp.cumsum(keep) - 1  # output slot per kept row
     in_range = keep & (pos < max_out)
     out_idx = jnp.zeros((max_out,), dtype=order.dtype)
@@ -138,6 +143,7 @@ def nms(
     )
     out_valid = jnp.arange(max_out) < jnp.sum(in_range)
     return out_idx, out_valid
+
 
 
 @functools.partial(

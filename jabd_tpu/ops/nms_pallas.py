@@ -18,6 +18,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from jabd_tpu.ops import nms as N
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -171,16 +173,7 @@ def nms_keep_sorted_pallas(
     """Pallas twin of nms.nms_keep_sorted — identical keep set."""
     k = boxes.shape[0]
     kp = _round_up(max(k, _LANES), _LANES)
-    b = boxes.astype(jnp.float32)
-    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
-    area = (x2 - x1) * (y2 - y1)
-    cols = jnp.zeros((8, kp), dtype=jnp.float32)
-    cols = cols.at[0, :k].set(x1)
-    cols = cols.at[1, :k].set(y1)
-    cols = cols.at[2, :k].set(x2)
-    cols = cols.at[3, :k].set(y2)
-    cols = cols.at[4, :k].set(area)
-    cols = cols.at[5, :k].set(jnp.where(valid, 1.0, 0.0))
+    cols = _build_cols(boxes, valid, kp)  # [8, kp]
 
     out = pl.pallas_call(
         functools.partial(
@@ -222,11 +215,4 @@ def nms_pallas(
         boxes[order], valid[order], iou_threshold, kind, beta1,
         interpret=interpret,
     )
-    pos = jnp.cumsum(keep) - 1
-    in_range = keep & (pos < max_out)
-    out_idx = jnp.zeros((max_out,), dtype=order.dtype)
-    out_idx = out_idx.at[jnp.where(in_range, pos, max_out)].set(
-        order, mode="drop"
-    )
-    out_valid = jnp.arange(max_out) < jnp.sum(in_range)
-    return out_idx, out_valid
+    return N.compact_keep(keep, order, max_out)

@@ -191,3 +191,48 @@ def test_pallas_matching_interpret_parity(rng):
             np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
             err_msg=f,
         )
+
+
+def test_pallas_matching_tie_break_parity():
+    """Duplicate GT boxes (exact IoU ties) must resolve to the LOWEST gt
+    index like jnp.argmax — regression for the sublane tournament's
+    pairing-branch tie bug (ties in different halves, e.g. gts 2 and 4,
+    previously kept the higher index)."""
+    import jax.numpy as jnp2
+
+    from jabd_tpu.ops import matching
+    from jabd_tpu.ops.matching_pallas import match_batch_pallas
+
+    rng = np.random.default_rng(11)
+    priors = np.zeros((256, 4), np.float32)
+    priors[:, :2] = rng.uniform(0.1, 0.9, (256, 2))
+    priors[:, 2:] = rng.uniform(0.05, 0.3, (256, 2))
+
+    g = 8
+    truths = np.zeros((g, 4), np.float32)
+    base = np.array([0.3, 0.3, 0.6, 0.6], np.float32)
+    other = np.array([0.5, 0.5, 0.9, 0.9], np.float32)
+    # identical boxes at indices 1, 2, 4, 6 -> exact tied IoUs across
+    # sublane pairing branches
+    for i in range(g):
+        truths[i] = base if i in (1, 2, 4, 6) else other
+    labels = np.arange(1, g + 1, dtype=np.float32) % 2 + 1
+    landms = rng.uniform(0, 1, (g, 10)).astype(np.float32)
+    valid = np.ones((1, g), bool)
+
+    args = (
+        0.35,
+        jnp2.asarray(truths[None]),
+        jnp2.asarray(priors),
+        (0.1, 0.2),
+        jnp2.asarray(labels[None]),
+        jnp2.asarray(landms[None]),
+        jnp2.asarray(valid),
+    )
+    want = matching.match_batch(*args)
+    got = match_batch_pallas(*args, interpret=True)
+    for f in ("conf_t", "loc_t", "landm_t", "box_t"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+            err_msg=f,
+        )
