@@ -25,7 +25,10 @@ REFERENCE_2080TI_IMG_PER_SEC = 55.0
 TARGET_MULTIPLIER = 5.0
 
 
-def main() -> None:
+def main(size: int = 640, batch: int = 0) -> None:
+    """No-arg invocation (the driver's) measures the 640^2 north star;
+    `python bench.py 1280 32` measures e.g. the reference predict.py
+    eval configuration."""
     import functools
 
     from jabd_tpu.utils import compile_cache
@@ -42,8 +45,7 @@ def main() -> None:
     from jabd_tpu.predict import detect_batch
     from jabd_tpu.utils.profiling import chained_benchmark
 
-    size = 640
-    batch = 128 if jax.default_backend() == "tpu" else 2
+    batch = batch or (128 if jax.default_backend() == "tpu" else 2)
     mcfg = configs.get_model_config("jabd_flagship")
     pcfg = configs.PredictConfig(
         confidence=0.5,
@@ -102,7 +104,7 @@ def main() -> None:
     stats = chained_benchmark(run, images, iters=20)
     ips = batch / stats["per_iter_s"]
     out = {
-        "metric": "images_per_sec_640_flagship_e2e",
+        "metric": f"images_per_sec_{size}_flagship_e2e",
         "value": round(ips, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(
@@ -114,7 +116,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     try:
-        main()
+        main(*(int(a) for a in sys.argv[1:]))
     except Exception as e:  # never leave the driver without a JSON line
         print(
             json.dumps(

@@ -48,7 +48,10 @@ def test_remat_train_step_matches_plain(rng, tiny_cfg):
     )
     step_plain = train.make_train_step(tiny_cfg, tcfg)
     step_remat = train.make_train_step(tiny_cfg, tcfg_r)
-    _, m1 = step_plain(state, images, targets, anchors)
+    # The step donates its state argument — deep-copy for the first
+    # call so the second can reuse the same values.
+    state_copy = jax.tree_util.tree_map(jnp.array, state)
+    _, m1 = step_plain(state_copy, images, targets, anchors)
     _, m2 = step_remat(state, images, targets, anchors)
     np.testing.assert_allclose(
         float(m1["loss"]), float(m2["loss"]), rtol=1e-5
