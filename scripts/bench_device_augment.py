@@ -70,16 +70,20 @@ def main(batch=34, size=840, bucket=1024, iters=5):
     plan_d = jax.tree_util.tree_map(jnp.asarray, plan)
 
     # 2. device augment alone (chained)
-    # Consume the FULL output: a partial consumer (e.g. y[0,0,0]) lets
-    # XLA dead-code-eliminate most of the augment and reports fantasy.
+    # Two fantasy-number traps: (1) consume the FULL output — a partial
+    # consumer (y[0,0,0]) lets XLA DCE most of the augment; (2) thread
+    # the carry back into the INPUT — a loop-invariant body gets hoisted
+    # and computed once regardless of nit.
     @jax.jit
     def chained_aug(x, plan, nit):
         def body(_, carry):
-            acc, = carry
-            y = DA.device_augment(x, plan)
-            return (acc + jnp.sum(y).astype(jnp.float32),)
+            xc, acc = carry
+            y = DA.device_augment(xc, plan)
+            acc = acc + jnp.sum(y).astype(jnp.float32)
+            xc = xc + (acc * 0).astype(xc.dtype)
+            return xc, acc
 
-        return jax.lax.fori_loop(0, nit, body, (jnp.float32(0),))[0]
+        return jax.lax.fori_loop(0, nit, body, (x, jnp.float32(0)))[1]
 
     float(np.asarray(chained_aug(images_d, plan_d, 1)))
     t0 = time.perf_counter()
