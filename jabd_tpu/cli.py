@@ -59,11 +59,24 @@ def _load_predictor(args):
             )
             params, stats = convert(load_pth(args.weights), mcfg)
             variables = {"params": params, "batch_stats": stats}
-        else:  # orbax checkpoint dir
+        else:  # orbax checkpoint dir (cli train's CheckpointManager)
             import orbax.checkpoint as ocp
 
+            path = os.path.abspath(args.weights)
+            # Accept <ckpt-dir>/<step>/default, <ckpt-dir>/<step>, or a
+            # raw variables dir.
+            if os.path.isdir(os.path.join(path, "default")):
+                path = os.path.join(path, "default")
             ckpt = ocp.StandardCheckpointer()
-            variables = ckpt.restore(os.path.abspath(args.weights))
+            restored = ckpt.restore(path)
+            if "params" in restored:
+                # TrainState payload: keep only the model collections
+                # (opt_state/step are not flax variable collections).
+                variables = {"params": restored["params"]}
+                if restored.get("batch_stats"):
+                    variables["batch_stats"] = restored["batch_stats"]
+            else:
+                variables = restored
     else:
         print("[warn] no --weights: random init", file=sys.stderr)
         variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
@@ -286,6 +299,7 @@ def cmd_train(args):
         total_epochs=args.epochs,
         freeze_epochs=args.freeze_epochs,
         device_augment=args.device_augment,
+        save_period=args.save_period,
     )
     ds = WiderFaceDataset(args.label_txt, input_size=tcfg.image_size)
     mgr = CheckpointManager(args.ckpt_dir)
@@ -362,6 +376,7 @@ def main(argv=None):
     sp.add_argument("--input-size", type=int, default=840)
     sp.add_argument("--epochs", type=int, default=100)
     sp.add_argument("--freeze-epochs", type=int, default=50)
+    sp.add_argument("--save-period", type=int, default=5)
     sp.add_argument("--ckpt-dir", default="checkpoints")
     sp.add_argument("--log-dir", default="logs")
     sp.add_argument(

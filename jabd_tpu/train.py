@@ -358,4 +358,13 @@ def fit(
                 (epoch + 1) % train_cfg.save_period == 0
             ):
                 checkpoint_manager.save(epoch + 1, state)
+    # Always persist the final state (the periodic save skips it when
+    # total_epochs isn't a multiple of save_period — a 1-epoch CLI run
+    # used to end with NO checkpoint).
+    if (
+        checkpoint_manager is not None
+        and state is not None
+        and checkpoint_manager.latest_step() != train_cfg.total_epochs
+    ):
+        checkpoint_manager.save(train_cfg.total_epochs, state)
     return state
