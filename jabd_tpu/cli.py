@@ -46,18 +46,16 @@ def _load_predictor(args):
     shape = (1, args.input_size, args.input_size, 3)
     if args.weights:
         from jabd_tpu.utils.torch_convert import (
-            convert_flagship_state_dict,
-            convert_resnet_detector_state_dict,
+            convert_state_dict_auto,
             load_pth,
         )
 
         if args.weights.endswith(".pth") or args.weights.endswith(".tar"):
-            convert = (
-                convert_resnet_detector_state_dict
-                if mcfg.backbone.startswith("resnet")
-                else convert_flagship_state_dict
+            # Converter choice follows the preset's backbone family
+            # (mnet025 / flagship mnv3 / resnet / epsa naming schemes).
+            params, stats = convert_state_dict_auto(
+                load_pth(args.weights), mcfg
             )
-            params, stats = convert(load_pth(args.weights), mcfg)
             variables = {"params": params, "batch_stats": stats}
         else:  # orbax checkpoint dir (cli train's CheckpointManager)
             import orbax.checkpoint as ocp
@@ -219,8 +217,12 @@ def cmd_fps(args):
 
     pred = _load_predictor(args)
     img = _imread(args.image)
-    fps = pred.get_fps(img, test_interval=args.iters)
-    print(json.dumps({"fps": fps, "input": args.input_size}))
+    fps = pred.get_fps(img, test_interval=args.iters, method=args.method)
+    print(
+        json.dumps(
+            {"fps": fps, "method": args.method, "input": args.input_size}
+        )
+    )
 
 
 def cmd_count(args):
@@ -254,10 +256,27 @@ def cmd_count(args):
 
 def cmd_map_txt(args):
     """get_map_txt dump over a WIDER val tree (predict.py:338-415 format
-    consumed by the evaluator)."""
+    consumed by the evaluator).
+
+    --batch-size > 1 streams the whole tree through the fused batched
+    device program (eval/run_wider.py, BASELINE config #2); --multiscale
+    runs the bicubic image-pyramid sweep (BASELINE config #5). Both dump
+    byte-identical txt to the single-image path.
+    """
     import cv2
 
     pred = _load_predictor(args)
+    if args.batch_size > 1 or args.multiscale:
+        from jabd_tpu.eval.run_wider import run_wider_val
+
+        run_wider_val(
+            pred,
+            args.val_dir,
+            batch_size=args.batch_size,
+            out_dir=args.out,
+            multiscale=args.multiscale,
+        )
+        return
     for event in sorted(os.listdir(args.val_dir)):
         event_dir = os.path.join(args.val_dir, event)
         if not os.path.isdir(event_dir):
@@ -300,6 +319,7 @@ def cmd_train(args):
         freeze_epochs=args.freeze_epochs,
         device_augment=args.device_augment,
         save_period=args.save_period,
+        microbatches=args.microbatches,
     )
     ds = WiderFaceDataset(args.label_txt, input_size=tcfg.image_size)
     mgr = CheckpointManager(args.ckpt_dir)
@@ -350,6 +370,14 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--image", required=True)
     sp.add_argument("--iters", type=int, default=100)
+    sp.add_argument(
+        "--method",
+        choices=["chained", "wall"],
+        default="chained",
+        help="'chained' is honest under async/remote dispatch (default); "
+        "'wall' is the reference's dispatch-loop harness "
+        "(predict.py:253-333) for directly-attached hardware",
+    )
     sp.set_defaults(fn=cmd_fps)
 
     sp = sub.add_parser("count")
@@ -361,6 +389,17 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--val-dir", required=True)
     sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--batch-size",
+        type=int,
+        default=1,
+        help=">1 runs the fused batched val sweep (BASELINE config #2)",
+    )
+    sp.add_argument(
+        "--multiscale",
+        action="store_true",
+        help="bicubic image-pyramid eval (BASELINE config #5)",
+    )
     sp.set_defaults(fn=cmd_map_txt)
 
     sp = sub.add_parser("eval")
@@ -379,6 +418,15 @@ def main(argv=None):
     sp.add_argument("--save-period", type=int, default=5)
     sp.add_argument("--ckpt-dir", default="checkpoints")
     sp.add_argument("--log-dir", default="logs")
+    sp.add_argument(
+        "--microbatches",
+        type=int,
+        default=1,
+        help="split each batch into N ghost-BN microbatches inside one "
+        "jitted step (lax.scan): chunk-sized activations/HLO, one "
+        "optimizer update — lets effective batch grow past single-shot "
+        "compile/HBM limits (see TrainConfig.microbatches)",
+    )
     sp.add_argument(
         "--device-augment",
         action="store_true",

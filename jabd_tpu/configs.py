@@ -97,6 +97,13 @@ class ModelConfig:
     # IOUHead nets/retinaface_eca_nonlocal.py:123-132 — defined there but
     # dead in forward; functional here when enabled).
     with_iou_head: bool = False
+    # Dropout on the backbone taps BEFORE the tap ECAs, reproducing
+    # nets/retinaface_eca_nonlocal_droupout.py:322-325 (`F.dropout` on the
+    # three body outputs, p=0.5). Reference quirk: functional `F.dropout`
+    # defaults to training=True, so the reference drops (and rescales) at
+    # EVAL too — we deliberately deviate and make eval deterministic
+    # (standard dropout semantics); train mode matches. See PARITY.md.
+    tap_dropout: float = 0.0
     # 4-level reference assemblies apply ssh3 to BOTH levels 3 and 4
     # (retinaface_152.py:154 / retinaface50_self.py:152: `feature4 =
     # self.ssh3(fpn[3])`; their ssh4/ssh5 are built but dead). True
@@ -143,6 +150,18 @@ class TrainConfig:
     # ~30% more FLOPs for activation memory — lets batch size grow past
     # HBM limits at 840x840.
     remat: bool = False
+    # Split each batch into this many microbatches inside ONE jitted step
+    # (lax.scan): gradients are averaged across chunks and applied once;
+    # BatchNorm uses per-chunk statistics (ghost batch norm). Two things
+    # this buys on TPU: (a) activation memory and HLO size scale with the
+    # CHUNK, so effective batches past the single-shot compile/HBM limits
+    # become reachable (bs=160 crashed the remote compile service as one
+    # shot — runs fine as 2x80); (b) the ghost-BN chunk size stays at the
+    # reference's recipe scale while the arithmetic batch grows.
+    # Deviations vs one big batch (documented, standard grad-accumulation
+    # semantics): BN stats are per-chunk, and each chunk's MultiBox loss
+    # normalizes by its own positive count before chunk-averaging.
+    microbatches: int = 1
     # Run the get_random_data augmentation ON the device (MXU resample +
     # fused HSV, data/device_augment.py) instead of host PIL/cv2. The
     # host then only decodes + pads; targets are byte-identical either
@@ -352,6 +371,25 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
         eca_gate="sigmoid",
         fpn_upsample="nearest",
         nlm=NLMConfig(ch=4, psp_sizes=(1, 4, 8, 12)),
+    ),
+    # nets/retinaface_eca_nonlocal_droupout.py: re50_eca_nonlocal with
+    # F.dropout(p=0.5) on the three backbone taps before the tap ECAs
+    # (:322-330). The last of the reference's 14 variants to get a config
+    # equivalent. Its eca gate is plain sigmoid (the file drops the
+    # Hardsigmoid member its base class had).
+    "re50_dropout": _mk(
+        "re50_dropout",
+        anchors=CFG_RE50,
+        backbone="resnet50",
+        backbone_block_attention=None,
+        in_channels=(512, 1024, 2048),
+        out_channels=256,
+        tap_attention="eca",
+        fpn_attention="eca",
+        eca_gate="sigmoid",
+        fpn_upsample="nearest",
+        nlm=NLMConfig(ch=4, psp_sizes=(1, 4, 8, 12)),
+        tap_dropout=0.5,
     ),
     # train_50_3_r.py: plain FPN+SSH ResNet-50 baseline.
     "re50_baseline": _mk(

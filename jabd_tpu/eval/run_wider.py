@@ -54,6 +54,11 @@ def run_wider_val(
     items = _list_val_images(val_dir)
     th, tw = predictor.pcfg.input_shape
     preds: Dict[str, Dict[str, np.ndarray]] = {}
+    # stem -> actual filename (txt header keeps the real extension, so
+    # batched dumps are byte-identical to the single-image CLI path).
+    fnames = {
+        (event, os.path.splitext(name)[0]): name for event, name in items
+    }
 
     def to_rows(dets_px: np.ndarray) -> np.ndarray:
         if len(dets_px) == 0:
@@ -121,8 +126,9 @@ def run_wider_val(
             d = os.path.join(out_dir, event)
             os.makedirs(d, exist_ok=True)
             for stem, rows in imgs.items():
+                fname = fnames.get((event, stem), stem + ".jpg")
                 with open(os.path.join(d, stem + ".txt"), "w") as f:
-                    f.write(f"{event}/{stem}.jpg\n{len(rows)}\n")
+                    f.write(f"{event}/{fname}\n{len(rows)}\n")
                     for r in rows:
                         f.write(
                             f"{r[0]:.3f} {r[1]:.3f} {r[2]:.3f} "

@@ -96,6 +96,15 @@ class RetinaFace(nn.Module):
             f"{cfg.num_levels}"
         )
 
+        # Dropout on the raw backbone taps
+        # (retinaface_eca_nonlocal_droupout.py:322-325: F.dropout(p=0.5)
+        # on the three body outputs before eca_64/128/256). Torch's
+        # functional F.dropout defaults training=True so the reference
+        # drops at eval too; here eval is deterministic (PARITY.md).
+        if cfg.tap_dropout > 0.0:
+            drop = nn.Dropout(rate=cfg.tap_dropout, name="tap_dropout")
+            taps = [drop(t, deterministic=not train) for t in taps]
+
         # External ECA on the backbone taps (eca_40/80/160 flagship,
         # eca_512/1024/2048 in retinaface_eca_nonlocal.py:323-325).
         if cfg.tap_attention:

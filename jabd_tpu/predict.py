@@ -315,31 +315,51 @@ class Predictor:
         return merged[keep]
 
     def get_fps(
-        self, image: np.ndarray, test_interval: int = 100
+        self,
+        image: np.ndarray,
+        test_interval: int = 100,
+        method: str = "chained",
     ) -> float:
-        """Timed forward+decode+NMS loop (predict.py:253-333)."""
-        dets, valid = None, None
+        """FPS of the fused forward+decode+NMS graph (predict.py:253-333).
+
+        method='chained' (default) chains the iterations inside one
+        jitted fori_loop with value dependencies and fetches once
+        (utils/profiling.chained_benchmark) — honest even on backends
+        whose block_until_ready returns before execution completes (the
+        remote-tunneled TPU here reported 37,000 "img/s" from the
+        wall-clock loop). method='wall' keeps the reference-parity
+        dispatch-loop harness for directly-attached hardware.
+        """
         th, tw = self.pcfg.input_shape
         x = I.preprocess_input_np(
             I.letterbox_np(image, (tw, th)).astype(np.float32)
         )[None]
         xj = jnp.asarray(x)
         anchors = self._anchors_for((th, tw))
-        run = lambda: detect_batch(
-            self._apply,
-            self.variables,
-            xj,
-            anchors,
-            self.pcfg,
-            variances=self.mcfg.anchors.variance,
-            use_pallas=self.use_pallas,
-        )
-        d, v = run()
-        jax.block_until_ready((d, v))  # compile + warm
+
+        def run(imgs):
+            return detect_batch(
+                self._apply,
+                self.variables,
+                imgs,
+                anchors,
+                self.pcfg,
+                variances=self.mcfg.anchors.variance,
+                use_pallas=self.use_pallas,
+            )
+
+        if method == "chained":
+            from jabd_tpu.utils.profiling import chained_benchmark
+
+            r = chained_benchmark(run, xj, iters=test_interval)
+            return 1.0 / r["per_iter_s"]
+
+        out = run(xj)
+        jax.block_until_ready(out)  # compile + warm
         t0 = time.time()
         for _ in range(test_interval):
-            d, v = run()
-        jax.block_until_ready((d, v))
+            out = run(xj)
+        jax.block_until_ready(out)
         return test_interval / (time.time() - t0)
 
     def get_map_txt_rows(self, image: np.ndarray) -> np.ndarray:

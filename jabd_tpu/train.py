@@ -133,13 +133,25 @@ def make_train_step(
       -> (new_state, metrics dict)
     """
     model = build_model(model_cfg, mode="train")
+    # Presets with tap dropout (re50_dropout) need a per-step RNG; derive
+    # it inside the jitted step from the seed + step counter so the step
+    # signature stays pure and the stream is deterministic under resume.
+    needs_dropout = model_cfg.tap_dropout > 0.0
 
-    def forward(params, batch_stats, images):
+    def forward(params, batch_stats, images, step_i):
+        kwargs = {}
+        if needs_dropout:
+            kwargs["rngs"] = {
+                "dropout": jax.random.fold_in(
+                    jax.random.PRNGKey(train_cfg.seed), step_i
+                )
+            }
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             images,
             train=True,
             mutable=["batch_stats"],
+            **kwargs,
         )
 
     if train_cfg.remat:
@@ -147,8 +159,8 @@ def make_train_step(
         # (HBM-for-FLOPs trade; see TrainConfig.remat).
         forward = jax.checkpoint(forward)
 
-    def loss_fn(params, batch_stats, images, targets, anchors):
-        out, mut = forward(params, batch_stats, images)
+    def loss_fn(params, batch_stats, images, targets, anchors, step_i):
+        out, mut = forward(params, batch_stats, images, step_i)
         parts = losses.multibox_loss(
             out,
             anchors,
@@ -161,16 +173,74 @@ def make_train_step(
         loss = losses.total_loss(parts, train_cfg.loc_weight)
         return loss, (parts, mut["batch_stats"])
 
+    def _grads_and_metrics(
+        state, inputs, targets, anchors, make_images=lambda x: x
+    ):
+        """Whole-batch or microbatched (ghost-BN) gradient computation.
+
+        `inputs` is the image pytree (plain images, or (u8 sources, plan)
+        for the device-augment path); `make_images` turns one chunk of it
+        into the float training frames INSIDE the differentiated region,
+        so augmentation also stays chunk-sized under microbatching.
+        """
+        mb = train_cfg.microbatches
+        if mb <= 1:
+            (loss, (parts, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(
+                state.params, state.batch_stats, make_images(inputs),
+                targets, anchors, state.step,
+            )
+            return grads, new_bs, {"loss": loss, **parts}
+
+        # lax.scan over microbatches: fwd+bwd per chunk (activation
+        # memory and HLO stay chunk-sized), gradients averaged, BN
+        # statistics per-chunk (ghost batch norm) threaded sequentially
+        # so chunk i+1's running stats build on chunk i's update.
+        b = jax.tree_util.tree_leaves(inputs)[0].shape[0]
+        assert b % mb == 0, (
+            f"batch {b} not divisible by microbatches={mb}"
+        )
+
+        def chunked(x):
+            return x.reshape((mb, b // mb) + x.shape[1:])
+
+        inputs_c = jax.tree_util.tree_map(chunked, inputs)
+        targets_c = jax.tree_util.tree_map(chunked, targets)
+
+        def body(carry, xs):
+            bs, acc_grads, i = carry
+            inp, tg = xs
+            (loss, (parts, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(
+                state.params, bs, make_images(inp), tg, anchors,
+                state.step * mb + i,  # distinct dropout stream per chunk
+            )
+            acc_grads = jax.tree_util.tree_map(
+                lambda a, g: a + g, acc_grads, grads
+            )
+            return (new_bs, acc_grads, i + 1), {"loss": loss, **parts}
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (new_bs, grads_sum, _), metrics_c = jax.lax.scan(
+            body,
+            (state.batch_stats, zero_grads, jnp.int32(0)),
+            (inputs_c, targets_c),
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / mb, grads_sum)
+        metrics = jax.tree_util.tree_map(jnp.mean, metrics_c)
+        return grads, new_bs, metrics
+
     # Donate the state: the optimizer update writes new params/opt
     # buffers — without donation every dispatch transiently holds two
     # copies of the state and pays the extra HBM writes.
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, images, targets, anchors):
-        (loss, (parts, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, images, targets, anchors)
+        grads, new_bs, metrics = _grads_and_metrics(
+            state, images, targets, anchors
+        )
         new_state = state.apply_gradients(grads, new_bs)
-        metrics = {"loss": loss, **parts}
         return new_state, metrics
 
     if not train_cfg.device_augment:
@@ -183,13 +253,16 @@ def make_train_step(
         # Augmentation (MXU resample + fused HSV) runs inside the SAME
         # device program as fwd/bwd/update — XLA overlaps it with the
         # optimizer tail of the previous dispatch; the host only ships
-        # uint8 sources + per-sample resample matrices.
-        images = device_augment(images_u8, plan)
-        (loss, (parts, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, images, targets, anchors)
+        # uint8 sources + per-sample resample matrices. Under
+        # microbatching, each scan chunk augments its own slice.
+        grads, new_bs, metrics = _grads_and_metrics(
+            state,
+            (images_u8, plan),
+            targets,
+            anchors,
+            make_images=lambda inp: device_augment(inp[0], inp[1]),
+        )
         new_state = state.apply_gradients(grads, new_bs)
-        metrics = {"loss": loss, **parts}
         return new_state, metrics
 
     return aug_step

@@ -301,6 +301,74 @@ def convert_epsa_detector_state_dict(
     return params, stats
 
 
+def convert_mnet025_state_dict(
+    sd: Dict[str, np.ndarray], cfg: ModelConfig
+) -> Tuple[Dict, Dict]:
+    """Convert a vanilla-RetinaFace MobileNetV1-0.25 state dict — the most
+    widely distributed pretrained family for this codebase
+    (predict.py:80-85 backbone 'mobilenet0.25' path).
+
+    torch names (nets/retinaface.py:64 + nets/mobilenet025.py:21 under
+    IntermediateLayerGetter): body.stage1.0 is the conv_bn stem
+    (Sequential [conv, bn, leaky]); conv_dw blocks (Sequential
+    [dw conv, bn, leaky, pw conv, bn, leaky]) at body.stage1.{1..5},
+    body.stage2.{0..5}, body.stage3.{0..1}; then the common
+    fpn/ssh/head surface. Bare-backbone checkpoints (the
+    mobilenetV1X0.25_pretrain.tar family, 'stage1...' without the 'body.'
+    prefix) are accepted too.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if "body.stage1.0.0.weight" not in sd and "stage1.0.0.weight" in sd:
+        # Backbone-only pretrain checkpoint: normalize to detector names.
+        sd = {
+            ("body." + k if k.startswith("stage") else k): v
+            for k, v in sd.items()
+        }
+    params: Dict = {}
+    stats: Dict = {}
+
+    _convbn(params, stats, sd, "body.stage1.0.0", "body.stage1.0.1",
+            ("backbone", "stem"))
+    dw = 0
+    for stage, first, count in (
+        ("stage1", 1, 5),
+        ("stage2", 0, 6),
+        ("stage3", 0, 2),
+    ):
+        for k in range(first, first + count):
+            t = f"body.{stage}.{k}"
+            _convbn(params, stats, sd, f"{t}.0", f"{t}.1",
+                    ("backbone", f"dw{dw}_depth"))
+            _convbn(params, stats, sd, f"{t}.3", f"{t}.4",
+                    ("backbone", f"dw{dw}_point"))
+            dw += 1
+
+    _convert_common(sd, cfg, params, stats)
+    return params, stats
+
+
+def convert_state_dict_auto(
+    sd: Dict[str, np.ndarray], cfg: ModelConfig
+) -> Tuple[Dict, Dict]:
+    """Dispatch to the right converter by the preset's backbone family.
+
+    mobilenet_v1_025 -> mnet025 (stage1..3 conv_bn/conv_dw naming);
+    mobilenet_v3_large -> flagship (body.layerN blocks);
+    resnet* -> torchvision-ResNet detectors; epsanet50 -> EPSA.
+    """
+    if cfg.backbone == "mobilenet_v1_025":
+        return convert_mnet025_state_dict(sd, cfg)
+    if cfg.backbone == "mobilenet_v3_large":
+        return convert_flagship_state_dict(sd, cfg)
+    if cfg.backbone.startswith("resnet"):
+        return convert_resnet_detector_state_dict(sd, cfg)
+    if cfg.backbone == "epsanet50":
+        return convert_epsa_detector_state_dict(sd, cfg)
+    raise ValueError(
+        f"no torch converter for backbone {cfg.backbone!r}"
+    )
+
+
 def load_pth(path: str):
     """Load a torch .pth state dict as numpy (CPU, no grad)."""
     import torch

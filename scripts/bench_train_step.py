@@ -7,8 +7,10 @@ utils/profiling.chained_benchmark). Sweeps batch size x remat to find
 the best img/s/chip (VERDICT round-1 item: train-mode BN makes the
 forward ~2x eval; the available levers are batch scaling + remat).
 
-Usage: python scripts/bench_train_step.py [bs,remat ...]
-  e.g. python scripts/bench_train_step.py 96,0 128,0 128,1 160,1
+Usage: python scripts/bench_train_step.py [bs,remat[,microbatches] ...]
+  e.g. python scripts/bench_train_step.py 96,0 128,0 128,1 160,0,2
+(microbatches > 1 = ghost-BN grad accumulation inside one step — the
+round-3 workaround for the compile-service HTTP 500 at bs=160 one-shot.)
 """
 
 import dataclasses
@@ -26,10 +28,17 @@ from jabd_tpu import configs, losses, train
 from jabd_tpu.ops import anchors as A
 
 
-def bench_config(batch: int, remat: bool, size: int = 840, iters: int = 5):
+def bench_config(
+    batch: int,
+    remat: bool,
+    microbatches: int = 1,
+    size: int = 840,
+    iters: int = 5,
+):
     mcfg = configs.get_model_config("jabd_flagship")
     tcfg = configs.TrainConfig(
-        batch_size=batch, image_size=size, remat=remat
+        batch_size=batch, image_size=size, remat=remat,
+        microbatches=microbatches,
     )
     state = train.create_train_state(
         jax.random.PRNGKey(0), mcfg, tcfg, steps_per_epoch=100,
@@ -80,6 +89,7 @@ def bench_config(batch: int, remat: bool, size: int = 840, iters: int = 5):
     return {
         "batch": batch,
         "remat": remat,
+        "microbatches": microbatches,
         "per_step_ms": round(per * 1e3, 1),
         "img_per_sec": round(batch / per, 1),
     }
@@ -89,12 +99,14 @@ def main():
     combos = [arg.split(",") for arg in sys.argv[1:]] or [
         ("96", "0"), ("128", "0"), ("128", "1"), ("192", "1"),
     ]
-    for bs, rm in combos:
+    for combo in combos:
+        bs, rm = combo[0], combo[1]
+        mb = int(combo[2]) if len(combo) > 2 else 1
         try:
-            out = bench_config(int(bs), bool(int(rm)))
+            out = bench_config(int(bs), bool(int(rm)), mb)
         except Exception as e:  # OOM etc. — report and keep sweeping
             out = {"batch": int(bs), "remat": bool(int(rm)),
-                   "error": str(e)[:120]}
+                   "microbatches": mb, "error": str(e)[:120]}
         print(json.dumps(out), flush=True)
 
 

@@ -77,6 +77,59 @@ def test_map_txt_to_evaluation(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_cli_map_txt_batched_matches_single(tmp_path, rng):
+    """`cli map-txt --batch-size 2` must produce byte-identical txt dumps
+    to the single-image path (VERDICT r2 ask #3: BASELINE config #2
+    reachable from the command line)."""
+    import cv2
+
+    from jabd_tpu import cli
+
+    val_dir = tmp_path / "val" / "0--Parade"
+    val_dir.mkdir(parents=True)
+    for i in range(3):  # odd count: exercises the partial final batch
+        img = rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+        cv2.imwrite(str(val_dir / f"img_{i}.jpg"), img)
+
+    base = [
+        "map-txt", "--model", "mnet_v3_plain", "--val-dir",
+        str(tmp_path / "val"), "--input-size", "64",
+        "--confidence", "0.02",
+    ]
+    cli.main(base + ["--out", str(tmp_path / "single")])
+    cli.main(base + ["--out", str(tmp_path / "batched"), "--batch-size", "2"])
+
+    single = sorted((tmp_path / "single" / "0--Parade").iterdir())
+    batched = sorted((tmp_path / "batched" / "0--Parade").iterdir())
+    assert [p.name for p in single] == [p.name for p in batched] and single
+    for s, b in zip(single, batched):
+        assert s.read_text() == b.read_text(), s.name
+
+
+@pytest.mark.slow
+def test_cli_map_txt_multiscale_smoke(tmp_path, rng):
+    """--multiscale routes through the image-pyramid sweep and dumps the
+    evaluator-consumable layout (BASELINE config #5 via the CLI)."""
+    import cv2
+
+    from jabd_tpu import cli
+
+    val_dir = tmp_path / "val" / "0--Parade"
+    val_dir.mkdir(parents=True)
+    cv2.imwrite(
+        str(val_dir / "img_0.jpg"),
+        rng.integers(0, 255, (80, 100, 3), dtype=np.uint8),
+    )
+    cli.main([
+        "map-txt", "--model", "mnet_v3_plain", "--val-dir",
+        str(tmp_path / "val"), "--input-size", "64", "--confidence",
+        "0.02", "--out", str(tmp_path / "ms"), "--multiscale",
+    ])
+    txt = (tmp_path / "ms" / "0--Parade" / "img_0.txt").read_text()
+    assert txt.startswith("0--Parade/img_0.jpg\n")
+
+
+@pytest.mark.slow
 def test_batched_val_sweep(tmp_path, rng):
     """run_wider_val: batched sweep produces the same prediction structure
     as the per-image path and feeds the evaluator."""

@@ -36,6 +36,17 @@ def predictor():
     return Predictor(mcfg, variables, pcfg, use_pallas=False)
 
 
+def test_get_fps_chained(predictor, rng):
+    """The chained fps harness (honest under async dispatch) must run the
+    full fused graph and return a positive rate; the wall-clock
+    reference-parity harness must too."""
+    img = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+    fps_chained = predictor.get_fps(img, test_interval=3, method="chained")
+    fps_wall = predictor.get_fps(img, test_interval=3, method="wall")
+    assert fps_chained > 0 and np.isfinite(fps_chained)
+    assert fps_wall > 0 and np.isfinite(fps_wall)
+
+
 def test_detect_preprocessed_shapes(predictor, rng):
     x = rng.normal(0, 50, (2, 64, 64, 3)).astype(np.float32)
     dets, valid = predictor.detect_preprocessed(x)

@@ -153,6 +153,151 @@ def test_mobilenet_v1_025_parity(rng):
         )
 
 
+def _ensure_torchvision_stub():
+    """nets/retinaface.py imports torchvision only for
+    IntermediateLayerGetter (and the unused-here resnet constructors);
+    torchvision isn't in this environment, so provide the standard
+    helper's semantics: keep children up to the last requested layer,
+    return an OrderedDict of the requested taps."""
+    try:
+        import torchvision.models._utils  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import types
+    from collections import OrderedDict
+
+    import torch.nn as nn
+
+    class IntermediateLayerGetter(nn.ModuleDict):
+        def __init__(self, model, return_layers):
+            return_layers = {str(k): str(v) for k, v in return_layers.items()}
+            remaining = dict(return_layers)
+            layers = OrderedDict()
+            for name, module in model.named_children():
+                layers[name] = module
+                remaining.pop(name, None)
+                if not remaining:
+                    break
+            super().__init__(layers)
+            self.return_layers = return_layers
+
+        def forward(self, x):
+            out = OrderedDict()
+            for name, module in self.items():
+                x = module(x)
+                if name in self.return_layers:
+                    out[self.return_layers[name]] = x
+            return out
+
+    tv = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    tv_utils = types.ModuleType("torchvision.models._utils")
+    tv_utils.IntermediateLayerGetter = IntermediateLayerGetter
+    tv_models._utils = tv_utils
+    tv.models = tv_models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tv_models
+    sys.modules["torchvision.models._utils"] = tv_utils
+
+
+def _load_ref_vanilla_retinaface():
+    """Import the reference's own nets/retinaface.py (needs the `nets`
+    package on sys.path for its intra-package imports)."""
+    _ensure_torchvision_stub()
+    sys.path.insert(0, REF_ROOT)
+    try:
+        import nets.retinaface as ref_rf  # noqa: F401
+
+        return ref_rf
+    finally:
+        sys.path.remove(REF_ROOT)
+
+
+# cfg for the vanilla mobilenet0.25 assembly: the live cfg_mnet was
+# repurposed for the MNv3 backbone (utils/config.py:13-18 comments show
+# the original stage1..3 / 32 / 64 values this assembly needs).
+_MNET025_CFG = {
+    "name": "mobilenet0.25",
+    "min_sizes": [[16, 32], [64, 128], [256, 512]],
+    "steps": [8, 16, 32],
+    "variance": [0.1, 0.2],
+    "clip": False,
+    "loc_weight": 2.0,
+    "train_image_size": 840,
+    "return_layers": {"stage1": 1, "stage2": 2, "stage3": 3},
+    "in_channel": 32,
+    "out_channel": 64,
+}
+
+
+@pytest.mark.slow
+def test_mnet025_full_detector_parity(rng):
+    """FULL vanilla RetinaFace (nets/retinaface.py:64, mobilenet0.25 +
+    FPN + SSH + heads) vs our retinaface_mnet025 preset with
+    convert_mnet025_state_dict-mapped weights."""
+    ref_rf = _load_ref_vanilla_retinaface()
+    tm = ref_rf.RetinaFace(cfg=_MNET025_CFG, pretrained=False,
+                           mode="train").eval()
+    _randomize_bn(tm)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    import dataclasses
+
+    from jabd_tpu import configs
+    from jabd_tpu.models import build_model
+    from jabd_tpu.utils.torch_convert import convert_mnet025_state_dict
+
+    cfg = dataclasses.replace(
+        configs.get_model_config("retinaface_mnet025"),
+        compute_dtype="float32",
+    )
+    params, stats = convert_mnet025_state_dict(sd, cfg)
+    model = build_model(cfg, mode="train")
+
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_bbox, t_cls, t_landm = tm(_nchw(x))
+    j_bbox, j_cls, j_landm = jax.jit(
+        lambda v, i: model.apply(v, i, train=False)
+    )({"params": params, "batch_stats": stats}, jnp.asarray(x))
+    for name, tv, jv in [
+        ("bbox", t_bbox, j_bbox),
+        ("cls", t_cls, j_cls),
+        ("landm", t_landm, j_landm),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(jv), tv.numpy(), rtol=5e-3, atol=5e-4, err_msg=name
+        )
+
+
+@pytest.mark.slow
+def test_cli_routes_mnet025_pth(tmp_path, rng):
+    """cli --weights routing: a vanilla-RetinaFace .pth must dispatch to
+    the mnet025 converter (it used to crash in the flagship converter)."""
+    ref_rf = _load_ref_vanilla_retinaface()
+    tm = ref_rf.RetinaFace(cfg=_MNET025_CFG, pretrained=False,
+                           mode="train").eval()
+    _randomize_bn(tm)
+    pth = str(tmp_path / "mnet025.pth")
+    torch.save(tm.state_dict(), pth)
+
+    import argparse
+
+    from jabd_tpu.cli import _load_predictor
+
+    args = argparse.Namespace(
+        model="retinaface_mnet025", weights=pth, confidence=0.5,
+        nms_iou=0.45, input_size=64,
+    )
+    pred = _load_predictor(args)
+    # The converter must have produced the full model surface (backbone +
+    # fpn + ssh + heads); fold_bn ran, so check the folded param tree.
+    p = pred.variables["params"]
+    assert "backbone" in p and "fpn" in p and "class_head1" in p
+
+
 def test_ssh_parity(rng):
     """nets/layers.py SSH vs models.layers.SSH with converted weights."""
     layers = _load("ref_layers", "nets/layers.py")

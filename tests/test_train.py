@@ -67,6 +67,57 @@ def test_train_step_reduces_loss(rng, tiny_cfg, tcfg):
     assert losses_seq[-1] < losses_seq[0]
 
 
+def test_microbatched_step_matches_full_batch_on_duplicated_halves(
+    rng, tiny_cfg, tcfg
+):
+    """microbatches=2 on a batch whose two halves are IDENTICAL must
+    reproduce the whole-batch step exactly: per-chunk ghost-BN stats
+    equal the full-batch stats, each chunk's loss normalization matches,
+    and the averaged chunk gradients equal the full-batch gradient."""
+    images_h, targets_h = _batch(rng, bsz=4)
+    images = jnp.asarray(np.concatenate([images_h, images_h]))
+    targets = losses.Targets(
+        *(jnp.concatenate([t, t]) for t in targets_h)
+    )
+    anchors = jnp.asarray(
+        A.generate_anchors(tiny_cfg.anchors, (SIZE, SIZE))
+    )
+
+    outs = {}
+    for mb in (1, 2):
+        cfg_mb = dataclasses.replace(tcfg, microbatches=mb)
+        state = train.create_train_state(
+            jax.random.PRNGKey(0), tiny_cfg, cfg_mb, steps_per_epoch=10,
+            image_size=SIZE,
+        )
+        step = train.make_train_step(tiny_cfg, cfg_mb)
+        new_state, metrics = step(state, images, targets, anchors)
+        outs[mb] = (new_state, metrics)
+
+    np.testing.assert_allclose(
+        float(outs[1][1]["loss"]), float(outs[2][1]["loss"]), rtol=1e-5
+    )
+    # Post-Adam params: the first Adam step is ~lr*sign(grad), so an
+    # fp-reassociation epsilon on a near-zero gradient element flips to a
+    # 2*lr difference. Bound by 2.5*lr absolute (sign flips) and require
+    # the overwhelming majority of elements to match tightly.
+    lr = tcfg.lr_freeze
+    total = mismatched = 0
+    p1 = jax.tree_util.tree_leaves(outs[1][0].params)
+    p2 = jax.tree_util.tree_leaves(outs[2][0].params)
+    for a, b in zip(p1, p2):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=2.5 * lr, rtol=0)
+        total += a.size
+        mismatched += int(np.sum(np.abs(a - b) > 1e-5))
+    assert mismatched / total < 0.02, (mismatched, total)
+    # (batch_stats intentionally NOT compared: ghost BN applies the
+    # momentum update once per CHUNK — 0.81*old + 0.19*s after two
+    # identical chunks vs 0.9*old + 0.1*s full-batch — the documented
+    # running-stat deviation; normalization stats, and hence the
+    # gradients above, are unaffected.)
+
+
 def test_freeze_backbone_keeps_backbone_params(rng, tiny_cfg, tcfg):
     state = train.create_train_state(
         jax.random.PRNGKey(0), tiny_cfg, tcfg, steps_per_epoch=10,

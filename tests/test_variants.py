@@ -88,6 +88,96 @@ def test_epsa_preset_builds():
     assert out[0].shape == (1, n, 4)
 
 
+def test_tap_dropout_semantics():
+    """re50_dropout mechanism (retinaface_eca_nonlocal_droupout.py:322-325):
+    dropout on the backbone taps — stochastic per-rng in train mode,
+    deterministic (identity) at eval. Exercised on the cheap mnet graph;
+    the preset itself is covered by test_re50_dropout_preset_builds."""
+    cfg = dataclasses.replace(
+        configs.get_model_config("mnet_v3_plain"),
+        compute_dtype="float32",
+        tap_dropout=0.5,
+    )
+    model = build_model(cfg, mode="train")
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 50, (1, 64, 64, 3)),
+        jnp.float32,
+    )
+    variables = jax.jit(lambda r, i: model.init(r, i, train=False))(
+        jax.random.PRNGKey(0), x
+    )
+
+    base = dataclasses.replace(cfg, tap_dropout=0.0)
+    base_model = build_model(base, mode="train")
+
+    apply_train = jax.jit(
+        lambda v, i, r: model.apply(
+            v, i, train=True, rngs={"dropout": r},
+            mutable=["batch_stats"],
+        )[0]
+    )
+    a = apply_train(variables, x, jax.random.PRNGKey(1))
+    b = apply_train(variables, x, jax.random.PRNGKey(2))
+    a2 = apply_train(variables, x, jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(a2[0]))
+
+    # Eval: deterministic and identical to the dropout-free graph (the
+    # deliberate deviation from torch F.dropout's training=True default).
+    ev = jax.jit(lambda v, i: model.apply(v, i, train=False))(variables, x)
+    ev_base = jax.jit(lambda v, i: base_model.apply(v, i, train=False))(
+        variables, x
+    )
+    np.testing.assert_array_equal(np.asarray(ev[0]), np.asarray(ev_base[0]))
+
+
+def test_tap_dropout_train_step():
+    """The jitted train step derives the per-step dropout rng from
+    (seed, state.step) — one step must run and produce finite loss."""
+    from jabd_tpu import losses, train
+    from jabd_tpu.ops import anchors as AA
+
+    cfg = dataclasses.replace(
+        configs.get_model_config("mnet_v3_plain"),
+        compute_dtype="float32",
+        tap_dropout=0.5,
+    )
+    tcfg = configs.TrainConfig(batch_size=2, image_size=64, max_targets=4)
+    state = train.create_train_state(
+        jax.random.PRNGKey(0), cfg, tcfg, steps_per_epoch=5, image_size=64
+    )
+    step = train.make_train_step(cfg, tcfg)
+    anchors = jnp.asarray(AA.generate_anchors(cfg.anchors, (64, 64)))
+    rng_np = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng_np.normal(0, 50, (2, 64, 64, 3)).astype(np.float32)
+    )
+    targets = losses.Targets(
+        boxes=jnp.asarray([[[0.2, 0.2, 0.6, 0.6]] * 4] * 2, jnp.float32),
+        labels=jnp.ones((2, 4), jnp.float32),
+        landms=jnp.full((2, 4, 10), 0.3, jnp.float32),
+        valid=jnp.asarray([[True, False, False, False]] * 2),
+    )
+    new_state, metrics = step(state, images, targets, anchors)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
+@pytest.mark.slow
+def test_re50_dropout_preset_builds():
+    cfg = dataclasses.replace(
+        configs.get_model_config("re50_dropout"), compute_dtype="float32"
+    )
+    model = build_model(cfg, mode="eval")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(lambda r, i: model.init(r, i, train=False))(
+        jax.random.PRNGKey(0), x
+    )
+    out = jax.jit(lambda v, i: model.apply(v, i, train=False))(variables, x)
+    n = A.num_anchors(cfg.anchors, (64, 64))
+    assert out[0].shape == (1, n, 4)
+
+
 def test_cli_count_smoke(capsys):
     from jabd_tpu import cli
 
