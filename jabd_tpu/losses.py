@@ -118,19 +118,28 @@ def multibox_loss(
 
     # Hard-negative mining on the ranking loss
     # log_sum_exp(conf) - conf[target] (retinaface_training.py:261).
-    conf_t_cls = jnp.where(pos, 1, 0)  # CE targets (conf_t[pos]=1, :256)
-    gathered = jnp.take_along_axis(
-        conf_data, conf_t_cls[..., None], axis=-1
-    )[..., 0]
+    # conf[target] via an elementwise select on the 2-class axis —
+    # take_along_axis lowers to a scalar-path gather on TPU (the same
+    # disease the matching tail had; see scripts/bench_finish_match.py).
+    gathered = jnp.where(pos, conf_data[..., 1], conf_data[..., 0])
     # lse - conf[target] IS the per-anchor cross-entropy
     # (-log_softmax gathered at the target) — computed once, used both
     # as the mining rank loss (:261) and the final CE (:287).
     ce = B.log_sum_exp(conf_data)[..., 0] - gathered
     loss_rank = jnp.where(pos, 0.0, ce)  # positives excluded (:264)
 
-    # Double-argsort rank trick (:270-271), vmapped per image. (A
-    # sort+scatter formulation was measured SLOWER on TPU — argsort of an
-    # already-sorted permutation vectorizes better than a 29k scatter.)
+    # Double-argsort rank trick (:270-271), vmapped per image. Probed
+    # alternatives (scripts/bench_mining.py at [128, 29126]): a single
+    # descending VALUE sort (sum of top-num_neg values == the mined ce
+    # sum, since positives are zeroed and ce >= 0) runs 4.6 vs 7.1 ms
+    # forward — but jnp.sort's VJP scatters cotangents through the
+    # permutation, adding an argsort+scatter to the BACKWARD that costs
+    # more than the forward saving; a threshold-bisection form is 1.6 ms
+    # but gives tie-elements zero gradient (rank semantics give exactly
+    # num_neg selected). The integer-output argsorts below contribute
+    # NOTHING to the backward (grad reaches conf only through the ce
+    # mask), so this form wins end-to-end. (A sort+scatter rank
+    # formulation was also measured SLOWER on TPU forward-only.)
     loss_idx = jnp.argsort(-loss_rank, axis=-1)
     idx_rank = jnp.argsort(loss_idx, axis=-1)
     num_pos = jnp.sum(pos, axis=-1, keepdims=True)  # [B, 1]

@@ -125,12 +125,30 @@ def finish_match(
     best_truth_idx = jnp.where(is_forced, forced_gt, best_truth_idx)
     best_truth_overlap = jnp.where(is_forced, 2.0, best_truth_overlap)
 
-    matches = truths[best_truth_idx]  # [P, 4]
-    conf = labels[best_truth_idx]  # [P]
+    # GT-row lookup as a one-hot matmul against the packed [G, 15] table
+    # instead of three [P]-indexed gathers: dynamic gathers run on the
+    # TPU's scalar path and dominated the whole matching stage (48 ms of
+    # the 77 ms at bs=128/840^2 — scripts/bench_finish_match.py), while
+    # the [P, G] @ [G, 15] form rides the MXU (5.6 ms, 8.6x). Exact: each
+    # one-hot row selects a single f32 product at HIGHEST precision.
+    table = jnp.concatenate(
+        [truths, labels[:, None], landms], axis=1
+    )  # [G, 15]
+    onehot = (best_truth_idx[:, None] == gt_ids[None, :]).astype(
+        jnp.float32
+    )
+    picked = jax.lax.dot(
+        onehot, table, precision=jax.lax.Precision.HIGHEST
+    )  # [P, 15]
+    matches, conf, picked_lms = (
+        picked[:, :4],
+        picked[:, 4],
+        picked[:, 5:],
+    )
     conf = jnp.where(best_truth_overlap < threshold, 0.0, conf)
 
     loc = B.encode(matches, priors, variances)
-    landm = B.encode_landm(landms[best_truth_idx], priors, variances)
+    landm = B.encode_landm(picked_lms, priors, variances)
     # Zero out encodings for background priors so padded/below-threshold
     # rows cannot leak NaN/Inf from degenerate boxes (log of 0-width pads).
     fg = (conf != 0.0)[:, None]

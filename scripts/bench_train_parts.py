@@ -9,7 +9,8 @@ pattern: carry threaded, full-output reduction), at flagship train shapes:
   loss_only   - matching + MultiBox loss on fixed predictions
   full_step   - the production train step (fwd + loss + bwd + Adam)
 
-Usage: python scripts/bench_train_parts.py [batch] [size] [iters]
+Usage: python scripts/bench_train_parts.py [batch] [size] [iters] [parts]
+  parts: comma-separated subset (default all), e.g. loss_only,full_step
 """
 
 import dataclasses
@@ -44,6 +45,10 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 840
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+
+    def want(tag):
+        return only is None or tag in only
 
     mcfg = configs.get_model_config("jabd_flagship")
     tcfg = configs.TrainConfig(batch_size=batch, image_size=size)
@@ -85,7 +90,8 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, (imgs, jnp.float32(0)))[1]
 
-    timed(fwd_eval, (variables, images), iters, "fwd_eval")
+    if want("fwd_eval"):
+        timed(fwd_eval, (variables, images), iters, "fwd_eval")
 
     # --- fwd train-mode ---
     @jax.jit
@@ -101,7 +107,8 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, (imgs, jnp.float32(0)))[1]
 
-    timed(fwd_train, (variables, images), iters, "fwd_train")
+    if want("fwd_train"):
+        timed(fwd_train, (variables, images), iters, "fwd_train")
 
     # --- fwd + bwd (sum-loss, no matching stage) ---
     @jax.jit
@@ -131,7 +138,8 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, (imgs, jnp.float32(0)))[1]
 
-    timed(fwd_bwd, (variables, images), iters, "fwd_bwd")
+    if want("fwd_bwd"):
+        timed(fwd_bwd, (variables, images), iters, "fwd_bwd")
 
     # --- loss only (fixed predictions) ---
     p = anchors.shape[0]
@@ -157,7 +165,8 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, (preds, jnp.float32(0)))[1]
 
-    timed(loss_only, (preds, targets), iters, "loss_only")
+    if want("loss_only"):
+        timed(loss_only, (preds, targets), iters, "loss_only")
 
     # --- full step ---
     raw_step = train.make_train_step(mcfg, tcfg).__wrapped__
@@ -171,7 +180,8 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))[1]
 
-    timed(full, (state, images, targets), iters, "full_step")
+    if want("full_step"):
+        timed(full, (state, images, targets), iters, "full_step")
 
 
 if __name__ == "__main__":
