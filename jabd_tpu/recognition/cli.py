@@ -94,17 +94,36 @@ def cmd_train(args):
             m * steps_per_epoch for m in args.milestones
         ),
     )
-    step = RT.make_train_step(model, head)
     import jax.numpy as jnp
+
+    if args.device_augment:
+        from jabd_tpu.recognition.device_augment import (
+            device_face_train_loader,
+        )
+
+        step = RT.make_train_step_aug(model, head)
+    else:
+        step = RT.make_train_step(model, head)
 
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.epochs):
         losses, accs = [], []  # device arrays; sync once per epoch
-        for images, labels in recognition_train_loader(
-            ds, args.batch_size, seed=args.seed + epoch
-        ):
+        if args.device_augment:
+            batches = device_face_train_loader(
+                ds, args.batch_size, seed=args.seed + epoch
+            )
+        else:
+            batches = recognition_train_loader(
+                ds, args.batch_size, seed=args.seed + epoch
+            )
+        for batch in batches:
             rng, sub = jax.random.split(rng)
-            state, m = step(state, images, labels, sub)
+            if args.device_augment:
+                images_u8, plan, labels = batch
+                state, m = step(state, images_u8, plan, labels, sub)
+            else:
+                images, labels = batch
+                state, m = step(state, images, labels, sub)
             losses.append(m["loss"])
             accs.append(m["acc"])
         print(
@@ -240,6 +259,13 @@ def main(argv=None):
                     default=[12, 20, 24])
     sp.add_argument("--val-dir", default="")
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument(
+        "--device-augment",
+        action="store_true",
+        help="run the AdaFace augmentation on the TPU inside the jitted "
+        "step (crop mask + composed cv2-resample matmuls + photometric); "
+        "the host only decodes",
+    )
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("verify")

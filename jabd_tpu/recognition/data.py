@@ -14,35 +14,127 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, List, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
+
+# cv2 interpolation ids in the reference's draw order (data.py:323-325).
+# Constants inlined so the param draw needs no cv2 import.
+CV2_INTERPS = (0, 1, 3, 2, 4)  # NEAREST, LINEAR, AREA, CUBIC, LANCZOS4
+
+
+class FaceAugmentDraw(NamedTuple):
+    """One drawn face augmentation (crop -> low-res -> photometric).
+
+    crop:   (i, ch, j, cw) zeroed-border rect kept in place, or None
+    lowres: (small_side, interp_down, interp_up) cv2 ids, or None
+    photo:  (brightness, contrast, saturation) in [0.5, 1.5], or None
+    score:  crop_ratio * resize_ratio (AdaFace's quality proxy)
+    """
+
+    crop: Optional[Tuple[int, int, int, int]]
+    lowres: Optional[Tuple[int, int, int]]
+    photo: Optional[Tuple[float, float, float]]
+    score: float
+
+
+def draw_face_augment_params(
+    rng: np.random.Generator,
+    h: int,
+    w: int,
+    crop_prob: float = 0.2,
+    low_res_prob: float = 0.2,
+    photometric_prob: float = 0.2,
+) -> FaceAugmentDraw:
+    """Consume the rng exactly as `augment_face` does and return the
+    drawn parameters. Shared by the host pixel path and the device-plan
+    builder (recognition/device_augment.py) so both produce identical
+    augmentations from the same rng."""
+    crop = None
+    crop_ratio = 1.0
+    if rng.random() < crop_prob:
+        # RandomResizedCrop params: scale (0.2, 1.0), ratio (3/4, 4/3).
+        area = h * w
+        for _ in range(10):
+            target_area = area * rng.uniform(0.2, 1.0)
+            aspect = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+            cw = int(round(np.sqrt(target_area * aspect)))
+            ch = int(round(np.sqrt(target_area / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                i = int(rng.integers(0, h - ch + 1))
+                j = int(rng.integers(0, w - cw + 1))
+                crop = (i, ch, j, cw)
+                crop_ratio = min(ch, cw) / max(h, w)
+                break
+    lowres = None
+    resize_ratio = 1.0
+    if rng.random() < low_res_prob:
+        side_ratio = rng.uniform(0.2, 1.0)
+        small_side = int(side_ratio * h)
+        down = CV2_INTERPS[rng.integers(len(CV2_INTERPS))]
+        up = CV2_INTERPS[rng.integers(len(CV2_INTERPS))]
+        lowres = (small_side, int(down), int(up))
+        resize_ratio = side_ratio
+    photo = None
+    if rng.random() < photometric_prob:
+        # brightness/contrast/saturation jitter in [0.5, 1.5] (ColorJitter).
+        photo = (
+            float(rng.uniform(0.5, 1.5)),
+            float(rng.uniform(0.5, 1.5)),
+            float(rng.uniform(0.5, 1.5)),
+        )
+    return FaceAugmentDraw(crop, lowres, photo, resize_ratio * crop_ratio)
 
 
 def low_res_augmentation(img: np.ndarray, rng: np.random.Generator):
     """Down-up-sample with random interpolation pairs (data.py:322-333)."""
     import cv2
 
-    interps = [
-        cv2.INTER_NEAREST,
-        cv2.INTER_LINEAR,
-        cv2.INTER_AREA,
-        cv2.INTER_CUBIC,
-        cv2.INTER_LANCZOS4,
-    ]
     side_ratio = rng.uniform(0.2, 1.0)
     small_side = int(side_ratio * img.shape[0])
     small = cv2.resize(
         img,
         (small_side, small_side),
-        interpolation=interps[rng.integers(len(interps))],
+        interpolation=CV2_INTERPS[rng.integers(len(CV2_INTERPS))],
     )
     aug = cv2.resize(
         small,
         (img.shape[1], img.shape[0]),
-        interpolation=interps[rng.integers(len(interps))],
+        interpolation=CV2_INTERPS[rng.integers(len(CV2_INTERPS))],
     )
     return aug, side_ratio
+
+
+def apply_face_augment(
+    img: np.ndarray, draw: FaceAugmentDraw
+) -> np.ndarray:
+    """Apply a drawn augmentation with the reference's host ops
+    (cv2 uint8 resizes, float photometric, uint8 truncating cast)."""
+    import cv2
+
+    if draw.crop is not None:
+        i, ch, j, cw = draw.crop
+        new = np.zeros_like(img)
+        new[i : i + ch, j : j + cw] = img[i : i + ch, j : j + cw]
+        img = new
+    if draw.lowres is not None:
+        small_side, down, up = draw.lowres
+        small = cv2.resize(
+            img, (small_side, small_side), interpolation=down
+        )
+        img = cv2.resize(
+            small, (img.shape[1], img.shape[0]), interpolation=up
+        )
+    if draw.photo is not None:
+        b, c, s = draw.photo
+        img = img.astype(np.float32)
+        img = img * b
+        mean = img.mean()
+        img = (img - mean) * c + mean
+        gray = img.mean(axis=2, keepdims=True)
+        img = (img - gray) * s + gray
+        img = np.clip(img, 0, 255)
+    return img.astype(np.uint8)
 
 
 def augment_face(
@@ -57,39 +149,10 @@ def augment_face(
     (augmented uint8 image, information score = crop_ratio*resize_ratio,
     the quality proxy AdaFace uses)."""
     h, w = img.shape[:2]
-    crop_ratio = 1.0
-    if rng.random() < crop_prob:
-        # RandomResizedCrop params: scale (0.2, 1.0), ratio (3/4, 4/3).
-        area = h * w
-        for _ in range(10):
-            target_area = area * rng.uniform(0.2, 1.0)
-            aspect = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
-            cw = int(round(np.sqrt(target_area * aspect)))
-            ch = int(round(np.sqrt(target_area / aspect)))
-            if 0 < cw <= w and 0 < ch <= h:
-                i = rng.integers(0, h - ch + 1)
-                j = rng.integers(0, w - cw + 1)
-                new = np.zeros_like(img)
-                new[i : i + ch, j : j + cw] = img[i : i + ch, j : j + cw]
-                img = new
-                crop_ratio = min(ch, cw) / max(h, w)
-                break
-    resize_ratio = 1.0
-    if rng.random() < low_res_prob:
-        img, resize_ratio = low_res_augmentation(img, rng)
-    if rng.random() < photometric_prob:
-        # brightness/contrast/saturation jitter in [0.5, 1.5] (ColorJitter).
-        img = img.astype(np.float32)
-        b = rng.uniform(0.5, 1.5)
-        img = img * b
-        c = rng.uniform(0.5, 1.5)
-        mean = img.mean()
-        img = (img - mean) * c + mean
-        s = rng.uniform(0.5, 1.5)
-        gray = img.mean(axis=2, keepdims=True)
-        img = (img - gray) * s + gray
-        img = np.clip(img, 0, 255)
-    return img.astype(np.uint8), resize_ratio * crop_ratio
+    draw = draw_face_augment_params(
+        rng, h, w, crop_prob, low_res_prob, photometric_prob
+    )
+    return apply_face_augment(img, draw), draw.score
 
 
 def normalize_face(img: np.ndarray) -> np.ndarray:

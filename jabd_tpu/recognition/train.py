@@ -148,6 +148,23 @@ def make_train_step(model: N.IRBackbone, head):
     return step
 
 
+def make_train_step_aug(model: N.IRBackbone, head):
+    """Device-augmented twin of make_train_step: takes uint8 faces + a
+    FaceAugmentPlan (recognition/device_augment.py) and fuses the whole
+    augmentation (crop mask, low-res resample matmuls, photometric,
+    flip, normalize) into the jitted step."""
+    from jabd_tpu.recognition import device_augment as FDA
+
+    base = make_train_step(model, head)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: RecTrainState, images_u8, plan, labels, rng):
+        images = FDA.device_augment_faces(images_u8, plan)
+        return base.__wrapped__(state, images, labels, rng)
+
+    return step
+
+
 def extract_embeddings_tta(
     model: N.IRBackbone,
     variables,

@@ -34,10 +34,20 @@ def _host_key() -> str:
     return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
 
 
-def enable(cache_dir: str | None = None) -> str:
-    """Idempotently enable the persistent compilation cache."""
+def enable(cache_dir: str | None = None, allow_cpu: bool = False) -> str:
+    """Idempotently enable the persistent compilation cache.
+
+    On the CPU backend the cache stores host-specialized AOT machine
+    code; even with the cpuinfo keying, XLA's loader flags artifacts
+    whose compile-time tuning features (e.g. prefer-no-scatter) aren't
+    in its detected host set, and a genuine cross-host load can SIGILL.
+    CPU compiles are also fast. So the cache is a no-op on CPU unless
+    the caller opts in (the test conftest does — single-host, and the
+    ~35-min suite recompiles many medium graphs otherwise)."""
     import jax
 
+    if jax.default_backend() == "cpu" and not allow_cpu:
+        return ""
     path = (
         cache_dir
         or os.environ.get("JABD_COMPILE_CACHE")

@@ -23,10 +23,12 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite's compile-heavy model tests go
 # from minutes to seconds on re-runs (cache keys include backend+HLO, so
-# CPU/TPU entries don't collide).
+# CPU/TPU entries don't collide). allow_cpu: enable() is otherwise a
+# no-op on the CPU backend (XLA:CPU persists host-specialized AOT code;
+# fine here — single host, and the suite is compile-heavy).
 from jabd_tpu.utils import compile_cache  # noqa: E402
 
-compile_cache.enable()
+compile_cache.enable(allow_cpu=True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
