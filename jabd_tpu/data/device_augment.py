@@ -45,7 +45,14 @@ import numpy as np
 
 from jabd_tpu.data import wider
 from jabd_tpu.ops.image import MEANS
-from jabd_tpu.ops.resize import paste_resize_matrix, resample_canvas
+from jabd_tpu.ops.resize import (
+    TAPS_FSCAP,
+    TAPS_K,
+    expand_taps,
+    paste_resize_matrix,
+    paste_resize_taps,
+    resample_canvas,
+)
 
 # Back-compat aliases (tap machinery lives in ops/resize.py, shared with
 # the batched device letterbox).
@@ -71,6 +78,31 @@ class AugmentPlan(NamedTuple):
     hsv: np.ndarray
 
 
+class AugmentPlanTaps(NamedTuple):
+    """Compact (taps-form) device-augmentation program.
+
+    Equivalent to AugmentPlan but ships per-row tap windows instead of
+    dense [S, bucket] matrices: ~bucket/TAPS_K (=32x at bucket 1024)
+    fewer plan bytes over the wire. The dense matrices dominated
+    device-augment H2D through the remote-TPU tunnel (252 of ~550
+    MB/batch at bs=96/bucket 1024² — measured as an input-pipeline wall
+    in the round-3 at-scale run); the device rebuilds them with
+    ops/resize.expand_taps and runs the same MXU einsums.
+
+    xmin_v/h: [B, S] int32 first-tap index per canvas row/col
+    w_v/h:    [B, S, TAPS_K] tap weights (flip folded in h)
+    inside_v/h, hsv: as AugmentPlan
+    """
+
+    xmin_v: np.ndarray
+    w_v: np.ndarray
+    xmin_h: np.ndarray
+    w_h: np.ndarray
+    inside_v: np.ndarray
+    inside_h: np.ndarray
+    hsv: np.ndarray
+
+
 def plan_sample(
     image_u8: np.ndarray,  # [ih, iw, 3] uint8 (decoded, unpadded)
     box: np.ndarray,  # [N, 15]
@@ -81,50 +113,80 @@ def plan_sample(
     hue: float = 0.1,
     sat: float = 1.5,
     val: float = 1.5,
+    compact: bool = False,
 ):
     """Draw one augmentation and compile it to device matrices.
 
-    Returns (padded_u8 [bh, bw, 3], (mv, mh, inside_v, inside_h, hsv),
-    boxes [M, 15]). Boxes are byte-identical to `wider.augment_sample`
-    under the same rng. Oversize sources are PIL-bicubic pre-shrunk to
-    the bucket (composes with the matrix resample; pixel-only effect).
+    Returns (padded_u8 [bh, bw, 3], plan parts, boxes [M, 15]). Boxes
+    are byte-identical to `wider.augment_sample` under the same rng.
+    Oversize sources are PIL-bicubic pre-shrunk to the bucket, and any
+    axis whose downscale factor exceeds TAPS_FSCAP is pre-shrunk to the
+    cap (composes with the matrix resample; pixel-only effect) — this
+    bounds every tap window to TAPS_K, so the compact plan shape is
+    static.
+
+    compact=False: parts are (mv, mh, inside_v, inside_h, hsv) dense
+    matrices. compact=True: (xmin_v, w_v, xmin_h, w_h, inside_v,
+    inside_h, hsv) taps form (production default — ~32x fewer plan
+    bytes to ship).
     """
     ih, iw = image_u8.shape[:2]
     draw = wider.draw_augment_params(rng, input_size, jitter, hue, sat, val)
     boxes = wider.transform_boxes(box, draw, (iw, ih), input_size, rng)
 
     bh, bw = bucket_hw
-    if ih > bh or iw > bw:
+    # Cap per-axis size: the bucket AND the tap-window bound
+    # (TAPS_FSCAP x the effective output span per axis).
+    th = min(ih, bh, int(TAPS_FSCAP * max(draw.nh, 1)))
+    tw = min(iw, bw, int(TAPS_FSCAP * max(draw.nw, 1)))
+    if (th, tw) != (ih, iw):
         from PIL import Image
 
-        sw, sh = min(iw, bw), min(ih, bh)
         image_u8 = np.asarray(
-            Image.fromarray(image_u8).resize((sw, sh), Image.BICUBIC)
+            Image.fromarray(image_u8).resize((tw, th), Image.BICUBIC)
         )
-        ih, iw = sh, sw
+        ih, iw = th, tw
     # Padding content is never read with nonzero weight (all tap indices
     # stay inside the source), so skip zero-filling the margins.
     padded = np.empty((bh, bw, 3), np.uint8)
     padded[:ih, :iw] = image_u8
 
     s = input_size
+    hsv = np.asarray([draw.dh * 360.0, draw.ds, draw.dv], np.float32)
+    if compact:
+        xv, wv, inside_v = paste_resize_taps(ih, draw.nh, draw.dy, s)
+        xh, wh, inside_h = paste_resize_taps(
+            iw, draw.nw, draw.dx, s, flip=draw.flip
+        )
+        return padded, (xv, wv, xh, wh, inside_v, inside_h, hsv), boxes
     mv, inside_v = _axis_matrix(ih, draw.nh, draw.dy, s, bh, flip=False)
     mh, inside_h = _axis_matrix(iw, draw.nw, draw.dx, s, bw, flip=draw.flip)
-    hsv = np.asarray([draw.dh * 360.0, draw.ds, draw.dv], np.float32)
     return padded, (mv, mh, inside_v, inside_h, hsv), boxes
 
 
 def stack_plans(
     parts: Sequence[Tuple], matrix_dtype=None
-) -> AugmentPlan:
-    """Stack per-sample plan tuples into one AugmentPlan batch.
+):
+    """Stack per-sample plan tuples into one AugmentPlan (5-tuples,
+    dense) or AugmentPlanTaps (7-tuples, compact) batch.
 
-    matrix_dtype: storage dtype for the resample matrices. The device
-    casts them to its resample dtype anyway, so the production loader
-    ships bfloat16 (halves the plan H2D bytes with zero effect on the
-    bf16 compute path); parity tests keep float32."""
-    mv, mh, iv, ih_, hsv = zip(*parts)
+    matrix_dtype: storage dtype for the resample matrices/weights. The
+    device casts them to its resample dtype anyway, so the production
+    loader ships bfloat16 (halves the plan H2D bytes with zero effect on
+    the bf16 compute path); parity tests keep float32."""
     mdt = matrix_dtype or np.float32
+    if len(parts[0]) == 7:
+        xv, wv, xh, wh, iv, ih_, hsv = zip(*parts)
+        return AugmentPlanTaps(
+            xmin_v=np.ascontiguousarray(np.stack(xv)),
+            w_v=np.ascontiguousarray(np.stack(wv)).astype(mdt),
+            xmin_h=np.ascontiguousarray(np.stack(xh)),
+            w_h=np.ascontiguousarray(np.stack(wh)).astype(mdt),
+            inside_v=np.ascontiguousarray(np.stack(iv)),
+            inside_h=np.ascontiguousarray(np.stack(ih_)),
+            hsv=np.stack(hsv),
+        )
+    mv, mh, iv, ih_, hsv = zip(*parts)
     return AugmentPlan(
         mv=np.stack(mv).astype(mdt),
         mh=np.stack(mh).astype(mdt),
@@ -192,7 +254,7 @@ def hsv_to_rgb_cv2(hsv: jnp.ndarray) -> jnp.ndarray:
 
 def device_augment(
     images_u8: jnp.ndarray,  # [B, bucket_h, bucket_w, 3] uint8
-    plan: AugmentPlan,
+    plan,  # AugmentPlan | AugmentPlanTaps
     resample_dtype: jnp.dtype = jnp.bfloat16,
     out_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
@@ -204,11 +266,21 @@ def device_augment(
     rate (uint8 pixel values are exact in bf16; tap weights round to ~3
     decimal digits — ≤1 LSB output effect). float32 selects HIGHEST
     precision for parity testing.
+
+    Taps-form plans (the production loader default) are expanded to the
+    dense matrices on device first (ops/resize.expand_taps) — same
+    compute path, ~32x fewer H2D plan bytes.
     """
+    if isinstance(plan, AugmentPlanTaps):
+        bh, bw = images_u8.shape[1], images_u8.shape[2]
+        mv = expand_taps(plan.xmin_v, plan.w_v, bh, resample_dtype)
+        mh = expand_taps(plan.xmin_h, plan.w_h, bw, resample_dtype)
+    else:
+        mv, mh = plan.mv, plan.mh
     y = resample_canvas(
         images_u8,
-        plan.mv,
-        plan.mh,
+        mv,
+        mh,
         plan.inside_v,
         plan.inside_h,
         fill=128.0,
@@ -252,11 +324,13 @@ def device_train_loader(
     seed: int = 0,
     num_workers: int = 8,
     drop_last: bool = True,
+    compact: bool = True,
 ):
     """Device-augmentation twin of `wider.train_loader`: yields
-    (images_u8 [B,bh,bw,3], AugmentPlan, padded targets). Host pixel work
-    is decode + pad only; empty-box backfill re-draws PLANS (no pixel
-    cost) and duplicates samples exactly like the host loader."""
+    (images_u8 [B,bh,bw,3], AugmentPlanTaps (compact=True, default) or
+    AugmentPlan, padded targets). Host pixel work is decode + pad only;
+    empty-box backfill re-draws PLANS (no pixel cost) and duplicates
+    samples exactly like the host loader."""
     import concurrent.futures as cf
 
     order = np.random.default_rng(seed).permutation(len(dataset))
@@ -283,7 +357,8 @@ def device_train_loader(
             (seed * 1_000_003 + int(idx) * 7919 + attempt) & 0x7FFFFFFF
         )
         return plan_sample(
-            raw, dataset.annos[int(idx)], dataset.input_size, rng, bucket_hw
+            raw, dataset.annos[int(idx)], dataset.input_size, rng,
+            bucket_hw, compact=compact,
         )
 
     try:

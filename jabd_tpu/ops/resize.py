@@ -266,6 +266,105 @@ def paste_resize_matrix(
     return m, inside
 
 
+# Static tap budget of the compact (taps-form) plan shipping. Rows never
+# carry more than TAPS_K weights because plan builders pre-shrink any
+# source axis whose downscale factor exceeds TAPS_FSCAP (antialiased
+# support 2*fscale per side -> ksize = 2*ceil(2*fscale)+1 <= 31).
+TAPS_FSCAP = 7.5
+TAPS_K = 32
+
+
+def paste_resize_taps(
+    in_size: int,
+    out_len: int,
+    offset: int,
+    canvas: int,
+    flip: bool = False,
+    taps=pil_bicubic_taps,
+    k_max: int = TAPS_K,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compact (taps-form) equivalent of `paste_resize_matrix`: per canvas
+    row, the first source tap index and k_max weights, instead of a dense
+    [canvas, bucket] matrix. Shipping this form cuts the plan's H2D bytes
+    ~bucket/k_max-fold (the dense matrices dominated device-augment H2D
+    through the remote tunnel: 252 of ~550 MB/batch at bs=96/bucket
+    1024²); the device rebuilds the dense matrix with a k_max-step
+    iota-compare accumulation (ops/resize.expand_taps) and runs the same
+    MXU einsums.
+
+    Returns (xmin [canvas] int32, w [canvas, k_max] float32,
+    inside [canvas] float32). Rows outside the pasted span have all-zero
+    weights. Requires in_size <= TAPS_FSCAP * max(out_len, 1) * 2 + k_max
+    headroom — callers guarantee it by pre-shrinking (see
+    device_augment.plan_sample); asserts otherwise.
+    """
+    xmin_c = np.zeros((canvas,), np.int32)
+    w_c = np.zeros((canvas, k_max), np.float32)
+    inside = np.zeros((canvas,), np.float32)
+    eff = max(out_len, 1)
+    xmin, w = taps(in_size, eff)
+    ksize = w.shape[1]
+
+    lo = max(0, offset)
+    hi = min(canvas, offset + eff)
+    if hi > lo:
+        o = np.arange(lo, hi)  # canvas indices covered by the paste
+        u = o - offset  # resized-image indices
+        if ksize > k_max:
+            # Trailing taps past each row's count are zero-weight; they
+            # only exceed k_max when the antialias window does, which the
+            # pre-shrink contract forbids. Verify, then truncate.
+            assert not np.any(w[u][:, k_max:] != 0.0), (
+                "tap window exceeds TAPS_K — caller must pre-shrink "
+                f"(in={in_size}, out={out_len})"
+            )
+        xm = xmin[u].astype(np.int64)
+        wr = np.zeros((len(u), k_max), np.float32)
+        wr[:, : min(ksize, k_max)] = w[u][:, :k_max]
+        # Right-edge clip: dense form accumulates taps clipped onto
+        # in_size-1; re-lay the weights against a shifted window start so
+        # the device needs no per-sample clamp (all xm+k either fall
+        # inside the source or carry zero weight).
+        clipped = xm > in_size - min(ksize, k_max)
+        for r in np.nonzero(clipped)[0]:
+            cols = np.minimum(xm[r] + np.arange(k_max), in_size - 1)
+            new_xm = max(0, min(int(xm[r]), in_size - k_max))
+            neww = np.zeros((k_max,), np.float32)
+            np.add.at(neww, cols - new_xm, wr[r])
+            xm[r] = new_xm
+            wr[r] = neww
+        xmin_c[lo:hi] = xm
+        w_c[lo:hi] = wr
+        inside[lo:hi] = 1.0
+    if flip:
+        xmin_c = xmin_c[::-1]
+        w_c = w_c[::-1]
+        inside = inside[::-1]
+    return xmin_c, w_c, inside
+
+
+def expand_taps(
+    xmin: "jnp.ndarray",  # [B, S] int32
+    w: "jnp.ndarray",  # [B, S, K]
+    bucket: int,
+    dtype=jnp.bfloat16,
+) -> "jnp.ndarray":
+    """Jit-able: rebuild the dense [B, S, bucket] resample matrix from
+    taps form. K iota-compare accumulation passes (K static, 32) — VPU
+    work traded for ~bucket/K less H2D."""
+    b, s, k_max = w.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bucket), 2)
+    w = w.astype(dtype)
+
+    def body(k, acc):
+        idx = (xmin + k)[:, :, None]  # [B, S, 1]
+        wk = jax.lax.dynamic_slice_in_dim(w, k, 1, axis=2)  # [B, S, 1]
+        return acc + jnp.where(col == idx, wk, jnp.zeros((), dtype))
+
+    acc = jnp.zeros((b, s, bucket), dtype)
+    return jax.lax.fori_loop(0, k_max, body, acc)
+
+
 def resample_canvas(
     images_u8: jnp.ndarray,  # [B, bucket_h, bucket_w, 3] uint8
     mv: jnp.ndarray,  # [B, S, bucket_h]

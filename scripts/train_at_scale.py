@@ -104,6 +104,21 @@ def main():
     mid_epochs = total_epochs // 2
     save_period = max(total_epochs // 10, 1)
 
+    # Right-size the augment bucket to the dataset (PIL reads dimensions
+    # from the header without decoding): every padded byte of the
+    # default 1024² bucket is H2D traffic through the remote tunnel —
+    # measured as THE input-pipeline wall at bs=96 (302 MB/batch of
+    # mostly-padding u8 + dense plan matrices; see BENCH_NOTES round 3).
+    from PIL import Image
+
+    mh = mw = 1
+    for p in ds.imgs_path:
+        with Image.open(p) as im:
+            w, h = im.size
+        mh, mw = max(mh, h), max(mw, w)
+    bucket = (min(-(-mh // 32) * 32, 1024), min(-(-mw // 32) * 32, 1024))
+    print(json.dumps({"augment_bucket": bucket}), flush=True)
+
     mcfg = configs.get_model_config(args.model)
     base = dict(
         batch_size=args.batch,
@@ -112,6 +127,7 @@ def main():
         freeze_epochs=0,  # single unfreeze phase; resume is the target
         save_period=save_period,
         device_augment=True,
+        augment_bucket=bucket,
         lr_unfreeze=1e-3,
     )
     ckpt_dir = os.path.join(root, "ckpt")

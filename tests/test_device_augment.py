@@ -193,8 +193,119 @@ def test_device_loader_yields(tmp_path):
     assert len(batches) == 2
     images, plan, (boxes, labels, landms, valid) = batches[0]
     assert images.shape == (2, 96, 96, 3) and images.dtype == np.uint8
-    assert plan.mv.shape == (2, 64, 96)
-    assert plan.mh.shape == (2, 64, 96)
+    # Production loader default: compact taps plans (~32x fewer H2D
+    # bytes than the dense [S, bucket] matrices).
+    assert isinstance(plan, DA.AugmentPlanTaps)
+    assert plan.xmin_v.shape == (2, 64)
+    assert plan.w_v.shape == (2, 64, 32)
     assert boxes.shape == (2, 8, 4)
     out = DA.device_augment(jnp.asarray(images), plan)
     assert out.shape == (2, 64, 64, 3)
+
+    dense = list(
+        DA.device_train_loader(
+            ds, batch_size=2, bucket_hw=(96, 96), max_targets=8,
+            num_workers=2, compact=False,
+        )
+    )
+    images_d, plan_d, _ = dense[0]
+    assert plan_d.mv.shape == (2, 64, 96)
+    out_d = DA.device_augment(jnp.asarray(images_d), plan_d)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_d), atol=1e-4
+    )
+
+
+def test_taps_plan_expands_to_dense_matrices():
+    """expand_taps rebuilds the exact dense matrices paste_resize_matrix
+    ships, across the full draw distribution (incl. flip, off-canvas
+    pastes, right-edge clipping)."""
+    from jabd_tpu.ops import resize as R
+
+    s = 128
+    bucket = (160, 160)
+    for seed in range(30):
+        rng = np.random.default_rng(400 + seed)
+        img = _smooth_image(rng, 120, 150)
+        box0 = _sample_boxes(rng, 150, 120)
+        p_d, dense, _ = DA.plan_sample(
+            img, box0.copy(), s, np.random.default_rng(seed), bucket
+        )
+        p_t, taps, _ = DA.plan_sample(
+            img, box0.copy(), s, np.random.default_rng(seed), bucket,
+            compact=True,
+        )
+        # (padded buffers have np.empty margins — never read with
+        # nonzero weight — so compare the plans/outputs, not the bytes)
+        mv, mh, iv, ih_, hsv = dense
+        xv, wv, xh, wh, tiv, tih, thsv = taps
+        np.testing.assert_array_equal(iv, tiv)
+        np.testing.assert_array_equal(ih_, tih)
+        np.testing.assert_array_equal(hsv, thsv)
+        got_v = np.asarray(
+            R.expand_taps(
+                jnp.asarray(xv[None]), jnp.asarray(wv[None]),
+                bucket[0], jnp.float32,
+            )[0]
+        )
+        got_h = np.asarray(
+            R.expand_taps(
+                jnp.asarray(xh[None]), jnp.asarray(wh[None]),
+                bucket[1], jnp.float32,
+            )[0]
+        )
+        np.testing.assert_allclose(got_v, mv, atol=1e-6, err_msg=f"s{seed}")
+        np.testing.assert_allclose(got_h, mh, atol=1e-6, err_msg=f"s{seed}")
+        out_d = np.asarray(
+            DA.device_augment(
+                jnp.asarray(p_d[None]), DA.stack_plans([dense]),
+                resample_dtype=jnp.float32,
+            )[0]
+        )
+        out_t = np.asarray(
+            DA.device_augment(
+                jnp.asarray(p_t[None]), DA.stack_plans([taps]),
+                resample_dtype=jnp.float32,
+            )[0]
+        )
+        np.testing.assert_allclose(
+            out_t, out_d, atol=1e-3, err_msg=f"s{seed}"
+        )
+
+
+def test_compact_plan_pixels_match_host():
+    """The byte-parity test of the dense path, on the compact path."""
+    from PIL import Image
+
+    from jabd_tpu.ops.image import preprocess_input_np
+
+    s = 128
+    bucket = (160, 160)
+    for seed in range(10):
+        rng = np.random.default_rng(100 + seed)
+        img = _smooth_image(rng, 120, 150)
+        box0 = _sample_boxes(rng, 150, 120)
+
+        host_rng = np.random.default_rng(seed)
+        host_img, host_box = W.augment_sample(
+            Image.fromarray(img), box0.copy(), s, host_rng
+        )
+        host_img = preprocess_input_np(host_img)
+
+        dev_rng = np.random.default_rng(seed)
+        padded, parts, dev_box = DA.plan_sample(
+            img, box0.copy(), s, dev_rng, bucket, compact=True
+        )
+        np.testing.assert_array_equal(dev_box, host_box, err_msg=f"s{seed}")
+        plan = DA.stack_plans([parts])
+        assert isinstance(plan, DA.AugmentPlanTaps)
+        out = np.asarray(
+            DA.device_augment(
+                jnp.asarray(padded[None]), plan,
+                resample_dtype=jnp.float32,
+            )[0]
+        )
+        err = np.abs(out - host_img)
+        frac_big = (err.max(-1) > 6.0).mean()
+        assert frac_big <= 0.005, f"s{seed}: {frac_big:.4%} pixels diverge"
+        assert err.mean() <= 0.5, f"s{seed}: mean {err.mean()}"

@@ -247,7 +247,7 @@ def test_device_augment_step_spmd(rng, tiny_cfg, tcfg):
     )
 
     images_d = M.shard_batch(jnp.asarray(np.stack(images)), mesh)
-    plan_d = DA.AugmentPlan(*M.shard_batch(tuple(plan), mesh))
+    plan_d = type(plan)(*M.shard_batch(tuple(plan), mesh))
     targets_d = losses.Targets(*M.shard_batch(tuple(targets), mesh))
     state2, metrics = step(state, images_d, plan_d, targets_d, anchors)
     assert np.isfinite(float(metrics["loss"]))
