@@ -107,7 +107,12 @@ def cmd_train(args):
 
     rng = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.epochs):
-        losses, accs = [], []  # device arrays; sync once per epoch
+        # Device-array losses; bulk sync at epoch end, plus a lagged
+        # per-step scalar fetch that bounds dispatch run-ahead —
+        # unbounded async queuing collapses remote-attached throughput
+        # (measured ~7x; see train.py fit loop / diag_sync_loop.py).
+        losses, accs = [], []
+        synced = 0
         if args.device_augment:
             batches = device_face_train_loader(
                 ds, args.batch_size, seed=args.seed + epoch
@@ -126,6 +131,9 @@ def cmd_train(args):
                 state, m = step(state, images, labels, sub)
             losses.append(m["loss"])
             accs.append(m["acc"])
+            if len(losses) - synced > 3:
+                float(losses[synced])
+                synced += 1
         print(
             f"epoch {epoch + 1}/{args.epochs}: "
             f"loss={float(jnp.mean(jnp.stack(losses))):.4f} "

@@ -399,6 +399,16 @@ def fit(
             # with device compute (the DataLoader pin_memory/num_workers
             # analog); per-step losses stay on device — a host sync per
             # step costs a full RTT on remote-attached TPUs.
+            #
+            # Bounded run-ahead: keep at most MAX_IN_FLIGHT dispatched
+            # steps outstanding by value-fetching the lagged step's loss
+            # scalar (a real fetch — block_until_ready can return early
+            # on remote-attached backends). Unbounded async dispatch
+            # collapses remote throughput: measured ~14 s/step drain
+            # with ~24 queued steps vs ~2 s/step with a lagged sync at
+            # the same shapes (scripts/diag_sync_loop.py, bs=96/640²).
+            MAX_IN_FLIGHT = 3
+            synced = 0
             for batch in M.prefetch_to_device(
                 map(to_batch, batches), mesh, depth=2
             ):
@@ -418,6 +428,9 @@ def fit(
                         state, images_d, targets, anchors
                     )
                 step_losses.append(metrics["loss"])
+                if len(step_losses) - synced > MAX_IN_FLIGHT:
+                    float(step_losses[synced])
+                    synced += 1
             nsteps = len(step_losses)
             mean_loss = (
                 float(jnp.mean(jnp.stack(step_losses))) if nsteps else 0.0

@@ -36,15 +36,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_tree(root: str, n: int, rng, subdir="images"):
-    """Mini WIDER-format label.txt tree: bright squares as 'faces'."""
+def build_tree(root: str, n: int, rng, subdir="images", src_scale=1.0):
+    """Mini WIDER-format label.txt tree: bright squares as 'faces'.
+
+    src_scale shrinks the source image size range; the at-scale runner
+    uses <1 in this environment because the remote-TPU tunnel moves
+    H2D at only ~55 MB/s with multi-second contention windows (measured,
+    BENCH_NOTES round 3) — in production the sources ride local PCIe and
+    the full-size range is the realistic choice."""
     import cv2
 
     os.makedirs(os.path.join(root, subdir), exist_ok=True)
     lines = []
     gt = {}
     for i in range(n):
-        h, w = int(rng.integers(240, 480)), int(rng.integers(280, 560))
+        h = int(rng.integers(240, 480) * src_scale)
+        w = int(rng.integers(280, 560) * src_scale)
         img = np.full((h, w, 3), 30, np.uint8)
         img += rng.integers(0, 12, (h, w, 3), np.uint8)  # mild noise
         name = f"img_{i}.jpg"
@@ -72,6 +79,10 @@ def main():
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--images", type=int, default=1344)
+    ap.add_argument(
+        "--src-scale", type=float, default=1.0,
+        help="shrink synthetic source images (tunnel-bound envs)",
+    )
     ap.add_argument("--model", default="jabd_flagship")
     ap.add_argument("--keep", action="store_true", help="keep artifacts")
     ap.add_argument(
@@ -96,7 +107,9 @@ def main():
     compile_cache.enable()
     rng = np.random.default_rng(0)
     root = tempfile.mkdtemp(prefix="scale_wider_")
-    label_txt, _ = build_tree(root, args.images, rng)
+    label_txt, _ = build_tree(
+        root, args.images, rng, src_scale=args.src_scale
+    )
     ds = W.WiderFaceDataset(label_txt, input_size=args.size)
 
     steps_per_epoch = max(len(ds) // args.batch, 1)
