@@ -124,6 +124,9 @@ def cmd_predict(args):
 
     pred = _load_predictor(args)
     img = _imread(args.image)
+    if getattr(args, "quantize", "none") == "int8":
+        n = pred.quantize_int8(img[None])
+        print(f"[int8] quantized {n} conv sites", file=sys.stderr)
     dets = pred.detect_image(img)
     print(f"{len(dets)} faces")
     out = args.out or "out_" + os.path.basename(args.image)
@@ -164,6 +167,10 @@ def cmd_dir_predict(args):
             chunk.append(img)
         if not chunk:
             continue
+        if getattr(args, "quantize", "none") == "int8":
+            n = pred.quantize_int8(chunk)  # calibrate on the 1st chunk
+            print(f"[int8] quantized {n} conv sites", file=sys.stderr)
+            args.quantize = "none"
         if bs == 1:
             dets_list = [pred.detect_image(chunk[0])]
         else:
@@ -340,6 +347,11 @@ def main(argv=None):
         sp.add_argument("--confidence", type=float, default=0.5)
         sp.add_argument("--nms-iou", type=float, default=0.45)
         sp.add_argument("--input-size", type=int, default=1280)
+        sp.add_argument(
+            "--quantize", choices=["none", "int8"], default="none",
+            help="int8: per-channel int8 convs (MXU 2x bf16 on v5e), "
+            "activation scales self-calibrated on the first input",
+        )
 
     sp = sub.add_parser("predict")
     common(sp)

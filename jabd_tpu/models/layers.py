@@ -92,10 +92,33 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.kernel // 2
-        # Folded-BN eval graphs (models/fold.py) merge the BatchNorm into
-        # the conv kernel + a bias; their param trees have no "bn" entry.
-        # Detect that at apply time so no flag needs threading through
-        # every backbone/neck constructor.
+        # int8 calibration tap (models/quantize.py): a no-op unless the
+        # apply marks "quant_calib" mutable — XLA DCEs the reduction in
+        # every other graph. (Guarded at init: init() makes every
+        # collection mutable and would bake the tap into checkpoints.)
+        if not self.is_initializing():
+            self.sow("quant_calib", "x_absmax", jnp.max(jnp.abs(x)))
+        # Int8-quantized eval graphs (models/quantize.py) replace the
+        # conv params with a "qconv" subtree; folded-BN eval graphs
+        # (models/fold.py) merge the BatchNorm into the conv kernel + a
+        # bias (no "bn" entry). Both are detected at apply time so no
+        # flag needs threading through every backbone/neck constructor.
+        if not self.is_initializing() and self.has_variable(
+            "params", "qconv"
+        ):
+            from jabd_tpu.models.quantize import qconv_apply
+
+            x = qconv_apply(
+                self.get_variable("params", "qconv"),
+                x,
+                stride=self.stride,
+                pad=pad,
+                groups=self.groups,
+                dtype=self.dtype,
+            )
+            if isinstance(self.act, str):
+                return ACTIVATIONS[self.act](x)
+            return jax.nn.leaky_relu(x, negative_slope=float(self.act))
         folded = not self.is_initializing() and not self.has_variable(
             "params", "bn"
         )
