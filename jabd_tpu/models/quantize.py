@@ -122,6 +122,29 @@ def _walk(params: Dict[str, Any], calib: Dict[str, Any], stats: list):
     out: Dict[str, Any] = {}
     for k, v in params.items():
         c = calib.get(k) if isinstance(calib, dict) else None
+        # Flat layout (recognition IR blocks, net.py::_conv): the folded
+        # conv dict {kernel, bias} sits next to its calibration scalar
+        # "<name>_absmax" sown by the enclosing block.
+        flat_absmax = (
+            calib.get(f"{k}_absmax") if isinstance(calib, dict) else None
+        )
+        if (
+            isinstance(v, dict)
+            and "kernel" in v
+            and "bias" in v
+            and "kernel_q" not in v
+            and np.ndim(np.asarray(v["kernel"])) == 4
+            and flat_absmax is not None
+        ):
+            absmax = float(np.max(np.asarray(flat_absmax)))
+            kern = np.asarray(v["kernel"])
+            if kern.shape[2] == 1 and kern.shape[3] > 1 or absmax == 0.0:
+                out[k] = v
+                stats.append((k, "skipped"))
+            else:
+                out[k] = _quantize_site(v, absmax)
+                stats.append((k, "quantized"))
+            continue
         if (
             _is_foldable_conv(v)
             and isinstance(c, dict)

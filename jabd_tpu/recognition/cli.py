@@ -52,6 +52,33 @@ def _load_backbone(args):
         variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
             jax.random.PRNGKey(0), jnp.zeros((1, 112, 112, 3), jnp.float32)
         )
+    if getattr(args, "fold", False) or (
+        getattr(args, "quantize", "none") != "none"
+    ):
+        from jabd_tpu.recognition.fold import fold_ir
+
+        variables = fold_ir(variables)
+    if getattr(args, "quantize", "none") == "int8":
+        import numpy as np
+
+        from jabd_tpu.models.quantize import calibrate, quantize_variables
+
+        # Self-calibrate on normalized random faces (serving inputs are
+        # (x/255 - 0.5) / 0.5, so the absmax envelope is data-light).
+        sample = jnp.asarray(
+            (
+                np.random.default_rng(0).integers(
+                    0, 256, (8, 112, 112, 3)
+                ).astype(np.float32)
+                / 255.0
+                - 0.5
+            )
+            / 0.5
+        )
+        variables, n = quantize_variables(
+            variables, calibrate(model, variables, [sample])
+        )
+        print(f"[int8] quantized {n} conv sites", file=sys.stderr)
     return model, variables
 
 
@@ -254,6 +281,16 @@ def main(argv=None):
         sp.add_argument("--arch", default="ir_50")
         sp.add_argument("--ckpt", default="")
         sp.add_argument("--batch-size", type=int, default=256)
+        sp.add_argument(
+            "--fold", action="store_true",
+            help="fold conv+BN pairs for the eval graph (exact)",
+        )
+        sp.add_argument(
+            "--quantize", choices=["none", "int8"], default="none",
+            help="int8 MXU convs (2x bf16 peak); activation scales "
+            "self-calibrated on synthetic normalized inputs — for "
+            "production accuracy calibrate on real samples via the API",
+        )
 
     sp = sub.add_parser("train")
     sp.add_argument("--data-root", required=True)

@@ -48,6 +48,55 @@ def _bn(name, train, dtype):
     )
 
 
+def _conv(mod, name, x, features, kernel=3, stride=1, dtype=jnp.float32):
+    """nn.Conv with fold/int8 awareness (recognition twin of
+    models/layers.py::ConvBN's detection pattern):
+
+      * sows the input absmax for int8 calibration (dead code unless the
+        "quant_calib" collection is mutable);
+      * a param dict holding "kernel_q" (models/quantize.py) runs the
+        int8 MXU path;
+      * a param dict holding "bias" is a folded conv+BN (fold_ir).
+    """
+    if not mod.is_initializing():
+        mod.sow("quant_calib", f"{name}_absmax", jnp.max(jnp.abs(x)))
+        p = (
+            mod.get_variable("params", name)
+            if mod.has_variable("params", name)
+            else None
+        )
+        if p is not None and "kernel_q" in p:
+            from jabd_tpu.models.quantize import qconv_apply
+
+            return qconv_apply(
+                p, x, stride=stride, pad=kernel // 2, groups=1,
+                dtype=dtype,
+            )
+        use_bias = p is not None and "bias" in p
+    else:
+        use_bias = False
+    pad = kernel // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        use_bias=use_bias,
+        dtype=dtype,
+        name=name,
+    )(x)
+
+
+def _maybe_bn(mod, name, x, train, dtype):
+    """BatchNorm unless fold_ir removed it from the tree."""
+    if not mod.is_initializing() and not (
+        mod.has_variable("batch_stats", name)
+        or mod.has_variable("params", name)
+    ):
+        return x
+    return _bn(name, train, dtype)(x)
+
+
 class SEBlock(nn.Module):
     """SE with reduction 16, sigmoid gate, bias-free convs (net.py:113-138)."""
 
@@ -66,14 +115,16 @@ class SEBlock(nn.Module):
         return x * jax.nn.sigmoid(y)
 
 
-def _shortcut(x, depth, stride, train, dtype, name):
+def _shortcut(mod, x, depth, stride, train, dtype, name):
     cin = x.shape[-1]
     if cin == depth:
         # MaxPool2d(1, stride) == strided slice.
         return x[:, ::stride, ::stride, :]
-    h = nn.Conv(depth, (1, 1), strides=(stride, stride), use_bias=False,
-                dtype=dtype, name=f"{name}_conv")(x)
-    return _bn(f"{name}_bn", train, dtype)(h)
+    h = _conv(
+        mod, f"{name}_conv", x, depth, kernel=1, stride=stride,
+        dtype=dtype,
+    )
+    return _maybe_bn(mod, f"{name}_bn", h, train, dtype)
 
 
 class BasicBlockIR(nn.Module):
@@ -85,17 +136,17 @@ class BasicBlockIR(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         res = _bn("bn0", train, self.dtype)(x)
-        res = nn.Conv(self.depth, (3, 3), padding=((1, 1), (1, 1)),
-                      use_bias=False, dtype=self.dtype, name="conv1")(res)
-        res = _bn("bn1", train, self.dtype)(res)
+        res = _conv(self, "conv1", res, self.depth, dtype=self.dtype)
+        res = _maybe_bn(self, "bn1", res, train, self.dtype)
         res = PReLU(name="prelu")(res)
-        res = nn.Conv(self.depth, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)), use_bias=False,
-                      dtype=self.dtype, name="conv2")(res)
-        res = _bn("bn2", train, self.dtype)(res)
+        res = _conv(
+            self, "conv2", res, self.depth, stride=self.stride,
+            dtype=self.dtype,
+        )
+        res = _maybe_bn(self, "bn2", res, train, self.dtype)
         if self.se:
             res = SEBlock(dtype=self.dtype, name="se")(res)
-        return res + _shortcut(x, self.depth, self.stride, train,
+        return res + _shortcut(self, x, self.depth, self.stride, train,
                                self.dtype, "shortcut")
 
 
@@ -112,20 +163,20 @@ class BottleneckIRBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         red = self.depth // 4
         res = _bn("bn0", train, self.dtype)(x)
-        res = nn.Conv(red, (1, 1), use_bias=False, dtype=self.dtype,
-                      name="conv1")(res)
-        res = _bn("bn1", train, self.dtype)(res)
+        res = _conv(self, "conv1", res, red, kernel=1, dtype=self.dtype)
+        res = _maybe_bn(self, "bn1", res, train, self.dtype)
         res = PReLU(name="prelu1")(res)
-        res = nn.Conv(red, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
-                      dtype=self.dtype, name="conv2")(res)
-        res = _bn("bn2", train, self.dtype)(res)
+        res = _conv(self, "conv2", res, red, dtype=self.dtype)
+        res = _maybe_bn(self, "bn2", res, train, self.dtype)
         res = PReLU(name="prelu2")(res)
-        res = nn.Conv(self.depth, (1, 1), strides=(self.stride, self.stride),
-                      use_bias=False, dtype=self.dtype, name="conv3")(res)
-        res = _bn("bn3", train, self.dtype)(res)
+        res = _conv(
+            self, "conv3", res, self.depth, kernel=1,
+            stride=self.stride, dtype=self.dtype,
+        )
+        res = _maybe_bn(self, "bn3", res, train, self.dtype)
         if self.se:
             res = SEBlock(dtype=self.dtype, name="se")(res)
-        return res + _shortcut(x, self.depth, self.stride, train,
+        return res + _shortcut(self, x, self.depth, self.stride, train,
                                self.dtype, "shortcut")
 
 
@@ -156,9 +207,8 @@ class IRBackbone(nn.Module):
         block_cls = (
             BottleneckIRBlock if self.num_layers > 100 else BasicBlockIR
         )
-        h = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
-                    dtype=self.dtype, name="input_conv")(x)
-        h = _bn("input_bn", train, self.dtype)(h)
+        h = _conv(self, "input_conv", x, 64, dtype=self.dtype)
+        h = _maybe_bn(self, "input_bn", h, train, self.dtype)
         h = PReLU(name="input_prelu")(h)
         for si, (depth, units) in enumerate(IR_STAGES[self.num_layers]):
             for bi in range(units):
@@ -174,16 +224,21 @@ class IRBackbone(nn.Module):
         # Flatten in torch CHW order for converted-weight compatibility.
         b = h.shape[0]
         h = jnp.transpose(h, (0, 3, 1, 2)).reshape(b, -1)
+        # fold_ir merges features_bn (an affine-free normalize) into this
+        # projection's kernel columns + bias and removes its stats.
         h = nn.Dense(self.embedding_size, dtype=self.dtype, name="fc")(h)
-        h = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            use_scale=False,
-            use_bias=False,
-            dtype=self.dtype,
-            name="features_bn",
-        )(h)
+        if self.is_initializing() or self.has_variable(
+            "batch_stats", "features_bn"
+        ):
+            h = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                use_scale=False,
+                use_bias=False,
+                dtype=self.dtype,
+                name="features_bn",
+            )(h)
         h = h.astype(jnp.float32)
         norm = jnp.linalg.norm(h, axis=1, keepdims=True)
         return h / norm, norm

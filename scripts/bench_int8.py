@@ -26,25 +26,43 @@ def main(preset="re50_baseline", size=640, batch=64):
     import jax.numpy as jnp
     import numpy as np
 
-    from jabd_tpu import configs
-    from jabd_tpu.models import build_model
     from jabd_tpu.models import quantize as Q
-    from jabd_tpu.models.fold import fold_batchnorm
     from jabd_tpu.utils.profiling import chained_benchmark
 
-    mcfg = configs.get_model_config(preset)
-    model = build_model(mcfg, mode="eval")
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.normal(0, 50, (batch, size, size, 3)), jnp.float32
-    )
-    variables = jax.jit(functools.partial(model.init, train=False))(
-        jax.random.PRNGKey(0), images[:1]
-    )
-    folded = fold_batchnorm(
-        variables,
-        cast=jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else None,
-    )
+    if preset.startswith("ir"):
+        from jabd_tpu.recognition import build_model as build_ir
+        from jabd_tpu.recognition.fold import fold_ir
+
+        model = build_ir(preset, dtype=jnp.bfloat16)
+        images = jnp.asarray(
+            rng.normal(0, 1, (batch, size, size, 3)), jnp.float32
+        )
+        variables = jax.jit(functools.partial(model.init, train=False))(
+            jax.random.PRNGKey(0), images[:1]
+        )
+        folded = fold_ir(variables, cast=jnp.bfloat16)
+    else:
+        from jabd_tpu import configs
+        from jabd_tpu.models import build_model
+        from jabd_tpu.models.fold import fold_batchnorm
+
+        mcfg = configs.get_model_config(preset)
+        model = build_model(mcfg, mode="eval")
+        images = jnp.asarray(
+            rng.normal(0, 50, (batch, size, size, 3)), jnp.float32
+        )
+        variables = jax.jit(functools.partial(model.init, train=False))(
+            jax.random.PRNGKey(0), images[:1]
+        )
+        folded = fold_batchnorm(
+            variables,
+            cast=(
+                jnp.bfloat16
+                if mcfg.compute_dtype == "bfloat16"
+                else None
+            ),
+        )
 
     def fwd(v):
         def run(imgs):
