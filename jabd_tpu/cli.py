@@ -154,17 +154,35 @@ def cmd_dir_predict(args):
     ]
 
     bs = max(args.batch_size, 1)
-    for i in range(0, len(names), bs):
+
+    def decode_chunk(lo):
         # Decode per chunk (not the whole directory) — peak host memory
-        # stays at bs images.
+        # stays at ~2*bs images (current + prefetched).
         chunk_names, chunk = [], []
-        for name in names[i : i + bs]:
+        for name in names[lo : lo + bs]:
             img = cv2.imread(os.path.join(args.input_dir, name))
             if img is None:
                 print(f"[skip] unreadable image {name}")
                 continue
             chunk_names.append(name)
             chunk.append(img)
+        return chunk_names, chunk
+
+    # Decode-ahead: overlap the NEXT chunk's cv2 decode with the current
+    # chunk's device inference (the serving twin of the train loader's
+    # prefetch; the reference dir_predict decodes serially,
+    # predict.py:527-544).
+    import concurrent.futures as cf
+
+    pool = cf.ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(decode_chunk, 0) if names else None
+    for i in range(0, len(names), bs):
+        chunk_names, chunk = pending.result()
+        pending = (
+            pool.submit(decode_chunk, i + bs)
+            if i + bs < len(names)
+            else None
+        )
         if not chunk:
             continue
         if getattr(args, "quantize", "none") == "int8":
@@ -184,6 +202,7 @@ def cmd_dir_predict(args):
         for name, img, dets in zip(chunk_names, chunk, dets_list):
             cv2.imwrite(os.path.join(args.out, name), _draw(img, dets))
             print(name, len(dets))
+    pool.shutdown(wait=False)
 
 
 def cmd_video(args):
