@@ -71,6 +71,23 @@ def qconv_apply(
     return y.astype(dtype)
 
 
+def qdense_apply(q: Dict[str, Any], x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Quantized Dense: int8 x int8 -> int32 matmul -> dequant + bias."""
+    x_scale = q["x_scale"].astype(jnp.float32)
+    x_q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / x_scale), -127.0, 127.0
+    ).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q,
+        q["kernel_q"],
+        (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scale = (q["w_scale"] * x_scale).astype(jnp.float32)
+    y = y.astype(jnp.float32) * scale + q["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
 def calibrate(model, variables, batches: Iterable) -> Dict[str, Any]:
     """Run sample batches through the eval graph, collecting each
     ConvBN input's absmax (the ``quant_calib`` sow sites). Returns the
@@ -106,8 +123,10 @@ def _is_foldable_conv(sub) -> bool:
 
 
 def _quantize_site(conv: Dict[str, Any], absmax: float):
-    k = np.asarray(conv["kernel"], np.float32)  # [kh, kw, cin/g, cout]
-    w_absmax = np.max(np.abs(k), axis=(0, 1, 2))  # [cout]
+    # conv kernel [kh, kw, cin/g, cout] or dense kernel [cin, cout]:
+    # per-output-channel scales either way (reduce all axes but the last).
+    k = np.asarray(conv["kernel"], np.float32)
+    w_absmax = np.max(np.abs(k), axis=tuple(range(k.ndim - 1)))
     w_scale = np.maximum(w_absmax, 1e-12) / 127.0
     kernel_q = np.clip(np.round(k / w_scale), -127, 127).astype(np.int8)
     return {
@@ -133,12 +152,17 @@ def _walk(params: Dict[str, Any], calib: Dict[str, Any], stats: list):
             and "kernel" in v
             and "bias" in v
             and "kernel_q" not in v
-            and np.ndim(np.asarray(v["kernel"])) == 4
+            and np.ndim(np.asarray(v["kernel"])) in (2, 4)
             and flat_absmax is not None
         ):
             absmax = float(np.max(np.asarray(flat_absmax)))
             kern = np.asarray(v["kernel"])
-            if kern.shape[2] == 1 and kern.shape[3] > 1 or absmax == 0.0:
+            depthwise = (
+                kern.ndim == 4
+                and kern.shape[2] == 1
+                and kern.shape[3] > 1
+            )
+            if depthwise or absmax == 0.0:
                 out[k] = v
                 stats.append((k, "skipped"))
             else:

@@ -225,8 +225,24 @@ class IRBackbone(nn.Module):
         b = h.shape[0]
         h = jnp.transpose(h, (0, 3, 1, 2)).reshape(b, -1)
         # fold_ir merges features_bn (an affine-free normalize) into this
-        # projection's kernel columns + bias and removes its stats.
-        h = nn.Dense(self.embedding_size, dtype=self.dtype, name="fc")(h)
+        # projection's kernel columns + bias and removes its stats; the
+        # int8 path (kernel_q) runs it as an int8 MXU matmul.
+        if not self.is_initializing():
+            self.sow("quant_calib", "fc_absmax", jnp.max(jnp.abs(h)))
+        fc_p = (
+            self.get_variable("params", "fc")
+            if not self.is_initializing()
+            and self.has_variable("params", "fc")
+            else None
+        )
+        if fc_p is not None and "kernel_q" in fc_p:
+            from jabd_tpu.models.quantize import qdense_apply
+
+            h = qdense_apply(fc_p, h, self.dtype)
+        else:
+            h = nn.Dense(
+                self.embedding_size, dtype=self.dtype, name="fc"
+            )(h)
         if self.is_initializing() or self.has_variable(
             "batch_stats", "features_bn"
         ):

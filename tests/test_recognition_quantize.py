@@ -82,9 +82,9 @@ def test_ir_int8_embeddings_close():
     assert np.all(cos > 0.98), cos
 
 
-def test_fc_dense_not_quantized_but_folded():
-    """features_bn folds into fc (2-D kernel); quantization must leave
-    the Dense in float (conv-only scope)."""
+def test_fc_dense_folded_and_quantized():
+    """features_bn folds into fc (2-D kernel) and the Dense runs int8
+    (per-output-column scales) alongside the convs."""
     model = build_model("ir_18")
     x = jnp.zeros((1, 112, 112, 3), jnp.float32)
     v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
@@ -92,4 +92,6 @@ def test_fc_dense_not_quantized_but_folded():
     assert "features_bn" not in folded.get("batch_stats", {})
     calib = Q.calibrate(model, folded, [jnp.ones_like(x)])
     qvars, _ = Q.quantize_variables(folded, calib)
-    assert "kernel" in qvars["params"]["fc"]  # still float
+    fc = qvars["params"]["fc"]
+    assert "kernel_q" in fc and fc["kernel_q"].ndim == 2
+    assert fc["w_scale"].shape == (512,)
