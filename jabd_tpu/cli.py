@@ -125,7 +125,10 @@ def cmd_predict(args):
     pred = _load_predictor(args)
     img = _imread(args.image)
     if getattr(args, "quantize", "none") == "int8":
-        n = pred.quantize_int8(img[None])
+        n = pred.quantize_int8(
+            img[None],
+            search_clip=getattr(args, "quantize_search", False),
+        )
         print(f"[int8] quantized {n} conv sites", file=sys.stderr)
     dets = pred.detect_image(img)
     print(f"{len(dets)} faces")
@@ -186,7 +189,10 @@ def cmd_dir_predict(args):
         if not chunk:
             continue
         if getattr(args, "quantize", "none") == "int8":
-            n = pred.quantize_int8(chunk)  # calibrate on the 1st chunk
+            n = pred.quantize_int8(  # calibrate on the 1st chunk
+                chunk,
+                search_clip=getattr(args, "quantize_search", False),
+            )
             print(f"[int8] quantized {n} conv sites", file=sys.stderr)
             args.quantize = "none"
         if bs == 1:
@@ -370,6 +376,12 @@ def main(argv=None):
             "--quantize", choices=["none", "int8"], default="none",
             help="int8: per-channel int8 convs (MXU 2x bf16 on v5e), "
             "activation scales self-calibrated on the first input",
+        )
+        sp.add_argument(
+            "--quantize-search", action="store_true",
+            help="with --quantize int8: grid-search a global activation "
+            "clip ratio by end-to-end output error on the calibration "
+            "images (clips outliers, tightens the int8 grid)",
         )
 
     sp = sub.add_parser("predict")

@@ -25,6 +25,13 @@ Usage:
     calib  = calibrate(model, folded, sample_batches)
     qvars  = quantize_variables(folded, calib)
     out    = model.apply(qvars, images, train=False)
+
+Calibration refinement: absmax clips nothing but wastes int8 range on
+outliers. ``search_clip_ratio`` grid-searches ONE global multiplier on
+the activation scales, scoring each candidate by the END-TO-END output
+error of the quantized graph vs the float graph on held-out batches —
+the metric that actually matters, unlike per-site percentile proxies
+(which need histogram sows and still optimize the wrong objective).
 """
 
 from __future__ import annotations
@@ -122,7 +129,7 @@ def _is_foldable_conv(sub) -> bool:
     )
 
 
-def _quantize_site(conv: Dict[str, Any], absmax: float):
+def _quantize_site(conv: Dict[str, Any], absmax: float, clip_ratio: float = 1.0):
     # conv kernel [kh, kw, cin/g, cout] or dense kernel [cin, cout]:
     # per-output-channel scales either way (reduce all axes but the last).
     k = np.asarray(conv["kernel"], np.float32)
@@ -132,12 +139,19 @@ def _quantize_site(conv: Dict[str, Any], absmax: float):
     return {
         "kernel_q": jnp.asarray(kernel_q),
         "w_scale": jnp.asarray(w_scale, jnp.float32),
-        "x_scale": jnp.asarray(max(float(absmax), 1e-12) / 127.0),
+        "x_scale": jnp.asarray(
+            max(float(absmax) * clip_ratio, 1e-12) / 127.0
+        ),
         "bias": jnp.asarray(conv["bias"], jnp.float32),
     }
 
 
-def _walk(params: Dict[str, Any], calib: Dict[str, Any], stats: list):
+def _walk(
+    params: Dict[str, Any],
+    calib: Dict[str, Any],
+    stats: list,
+    clip_ratio: float = 1.0,
+):
     out: Dict[str, Any] = {}
     for k, v in params.items():
         c = calib.get(k) if isinstance(calib, dict) else None
@@ -166,7 +180,7 @@ def _walk(params: Dict[str, Any], calib: Dict[str, Any], stats: list):
                 out[k] = v
                 stats.append((k, "skipped"))
             else:
-                out[k] = _quantize_site(v, absmax)
+                out[k] = _quantize_site(v, absmax, clip_ratio)
                 stats.append((k, "quantized"))
             continue
         if (
@@ -182,24 +196,29 @@ def _walk(params: Dict[str, Any], calib: Dict[str, Any], stats: list):
                 stats.append((k, "skipped"))
             else:
                 q = dict(v)
-                q[_QCONV] = _quantize_site(v["conv"], absmax)
+                q[_QCONV] = _quantize_site(v["conv"], absmax, clip_ratio)
                 del q["conv"]
                 out[k] = q
                 stats.append((k, "quantized"))
         elif isinstance(v, dict):
-            out[k] = _walk(v, c if isinstance(c, dict) else {}, stats)
+            out[k] = _walk(
+                v, c if isinstance(c, dict) else {}, stats, clip_ratio
+            )
         else:
             out[k] = v
     return out
 
 
-def quantize_variables(variables, calib: Dict[str, Any]):
+def quantize_variables(
+    variables, calib: Dict[str, Any], clip_ratio: float = 1.0
+):
     """Replace every calibrated, folded, non-depthwise ConvBN ``conv``
-    subtree with a ``qconv`` int8 subtree. Returns (new_variables,
-    n_quantized)."""
+    subtree with a ``qconv`` int8 subtree. ``clip_ratio`` scales every
+    activation scale below its calibrated absmax (see
+    ``search_clip_ratio``). Returns (new_variables, n_quantized)."""
     variables = dict(variables)
     stats: list = []
-    params = _walk(dict(variables["params"]), calib, stats)
+    params = _walk(dict(variables["params"]), calib, stats, clip_ratio)
     variables["params"] = params
     n = sum(1 for _, s in stats if s == "quantized")
     if n == 0:
@@ -209,3 +228,59 @@ def quantize_variables(variables, calib: Dict[str, Any]):
             "same tree?"
         )
     return variables, n
+
+
+def _rel_err(out, ref) -> float:
+    """Mean per-leaf relative L2 error between two output pytrees."""
+    errs = []
+    for a, b in zip(jax.tree_util.tree_leaves(out),
+                    jax.tree_util.tree_leaves(ref)):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        den = float(np.sqrt(np.sum(b * b)))
+        errs.append(float(np.sqrt(np.sum((a - b) ** 2))) / max(den, 1e-30))
+    return float(np.mean(errs))
+
+
+def search_clip_ratio(
+    model,
+    variables,
+    calib: Dict[str, Any],
+    batches: Iterable,
+    grid=(1.0, 0.95, 0.9, 0.85, 0.8, 0.7, 0.6),
+):
+    """Grid-search a global activation clip ratio by END-TO-END error.
+
+    For each candidate ratio r, quantizes with ``x_scale = absmax*r/127``
+    and scores the quantized graph's outputs against the float graph's
+    on ``batches`` (mean per-leaf relative L2 over the whole output
+    pytree). Returns ``(best_ratio, {ratio: err})``. One forward per
+    (batch, ratio) — all candidates share one compiled graph because the
+    quantized param STRUCTURE is ratio-independent.
+
+    This is the accuracy-oriented refinement of absmax calibration
+    (clipping outliers spends the int8 grid where the mass is); the
+    end-to-end objective subsumes per-site percentile heuristics.
+    """
+
+    @jax.jit
+    def _run(v, x):
+        return model.apply(v, x, train=False)
+
+    batches = [jnp.asarray(x) for x in batches]
+    if not batches:
+        raise ValueError("search_clip_ratio: no batches provided")
+    refs = [jax.device_get(_run(variables, x)) for x in batches]
+    errs: Dict[float, float] = {}
+    for r in grid:
+        qvars, _ = quantize_variables(variables, calib, clip_ratio=float(r))
+        errs[float(r)] = float(
+            np.mean(
+                [
+                    _rel_err(jax.device_get(_run(qvars, x)), ref)
+                    for x, ref in zip(batches, refs)
+                ]
+            )
+        )
+    best = min(errs, key=errs.get)
+    return best, errs

@@ -155,16 +155,25 @@ class Predictor:
         )
         self._apply = functools.partial(self._apply_fn)
 
-    def quantize_int8(self, sample_images: np.ndarray) -> int:
+    def quantize_int8(
+        self, sample_images: np.ndarray, search_clip: bool = False
+    ) -> int:
         """Switch serving to the int8 path (models/quantize.py): folded
         non-depthwise ConvBNs run as int8 MXU convs (2x the bf16 MXU
         rate on v5e, half the weight/activation HBM bytes). Activation
         scales are calibrated on `sample_images` ([N, H, W, 3] uint8 or
         float RGB) pushed through the same preprocessing as serving.
+        `search_clip=True` additionally grid-searches a global clip
+        ratio below absmax, scored by end-to-end output error on the
+        same samples (models/quantize.py::search_clip_ratio).
         Returns the number of quantized conv sites. Requires fold_bn
         (the default ctor path). No reference analog (predict.py serves
         fp32 torch)."""
-        from jabd_tpu.models.quantize import calibrate, quantize_variables
+        from jabd_tpu.models.quantize import (
+            calibrate,
+            quantize_variables,
+            search_clip_ratio,
+        )
         from jabd_tpu.ops.image import preprocess_input_np
 
         th, tw = self.pcfg.input_shape
@@ -176,7 +185,14 @@ class Predictor:
         )
         x = jnp.asarray(preprocess_input_np(imgs))
         calib = calibrate(self.model, self.variables, [x])
-        self.variables, n = quantize_variables(self.variables, calib)
+        ratio = 1.0
+        if search_clip:
+            ratio, _ = search_clip_ratio(
+                self.model, self.variables, calib, [x]
+            )
+        self.variables, n = quantize_variables(
+            self.variables, calib, clip_ratio=ratio
+        )
         return n
 
     def _apply_fn(self, variables, images):

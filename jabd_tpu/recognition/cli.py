@@ -75,9 +75,14 @@ def _load_backbone(args):
             )
             / 0.5
         )
-        variables, n = quantize_variables(
-            variables, calibrate(model, variables, [sample])
-        )
+        calib = calibrate(model, variables, [sample])
+        ratio = 1.0
+        if getattr(args, "quantize_search", False):
+            from jabd_tpu.models.quantize import search_clip_ratio
+
+            ratio, _ = search_clip_ratio(model, variables, calib, [sample])
+            print(f"[int8] clip ratio {ratio}", file=sys.stderr)
+        variables, n = quantize_variables(variables, calib, clip_ratio=ratio)
         print(f"[int8] quantized {n} conv sites", file=sys.stderr)
     return model, variables
 
@@ -290,6 +295,11 @@ def main(argv=None):
             help="int8 MXU convs (2x bf16 peak); activation scales "
             "self-calibrated on synthetic normalized inputs — for "
             "production accuracy calibrate on real samples via the API",
+        )
+        sp.add_argument(
+            "--quantize-search", action="store_true",
+            help="with --quantize int8: grid-search a global activation "
+            "clip ratio by end-to-end embedding error",
         )
 
     sp = sub.add_parser("train")

@@ -172,6 +172,42 @@ def test_cli_predict_quantize_flag(tmp_path):
     assert cv2.imread(out) is not None
 
 
+def test_search_clip_ratio_end_to_end():
+    """search_clip_ratio scores every grid ratio by end-to-end output
+    error, picks the argmin, and quantize_variables(clip_ratio) shrinks
+    the activation scales accordingly."""
+    cfg = configs.get_model_config("mnet_v3_plain")
+    model = build_model(cfg, mode="eval")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1.0, (2, 96, 96, 3)), jnp.float32)
+    v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+    folded = fold_batchnorm(v)
+    calib = Q.calibrate(model, folded, [x])
+
+    grid = (1.0, 0.9, 0.8)
+    best, errs = Q.search_clip_ratio(model, folded, calib, [x], grid=grid)
+    assert set(errs) == set(grid)
+    assert all(np.isfinite(e) and e >= 0 for e in errs.values())
+    assert errs[best] == min(errs.values())
+
+    q1, _ = Q.quantize_variables(folded, calib, clip_ratio=1.0)
+    q8, _ = Q.quantize_variables(folded, calib, clip_ratio=0.8)
+    s1 = jax.tree_util.tree_flatten_with_path(q1["params"])[0]
+    s8 = {
+        "/".join(map(str, p)): l
+        for p, l in jax.tree_util.tree_flatten_with_path(q8["params"])[0]
+    }
+    checked = 0
+    for path, leaf in s1:
+        key = "/".join(map(str, path))
+        if key.endswith("x_scale']"):
+            np.testing.assert_allclose(
+                np.asarray(s8[key]), 0.8 * np.asarray(leaf), rtol=1e-6
+            )
+            checked += 1
+    assert checked >= 10
+
+
 def test_quantize_requires_folded_tree():
     cfg = configs.get_model_config("mnet_v3_plain")
     model = build_model(cfg, mode="eval")
