@@ -117,7 +117,18 @@ def cmd_train(args):
 
     ds = ImageFolderDataset(args.data_root)
     model = build_model(args.arch)
-    head = build_head(args.head, class_num=ds.num_classes, m=args.m)
+    pad_to = 0
+    if getattr(args, "shard_head", False):
+        # Pad the classifier width to the mesh size make_mesh_for_batch
+        # will pick (device count, shrunk until it divides the batch).
+        import jax as _jax
+
+        pad_to = len(_jax.devices())
+        while pad_to > 1 and args.batch_size % pad_to != 0:
+            pad_to -= 1
+    head = build_head(
+        args.head, class_num=ds.num_classes, m=args.m, pad_to=pad_to
+    )
     steps_per_epoch = max(len(ds) // args.batch_size, 1)
     state = RT.create_state(
         jax.random.PRNGKey(args.seed), model, head,
@@ -133,6 +144,26 @@ def cmd_train(args):
             device_face_train_loader,
         )
 
+    if getattr(args, "shard_head", False):
+        # PartialFC-style class-sharded head over all local chips
+        # (recognition/parallel.py): batch rides the data axis, the
+        # classifier kernel + its momentum shard along classes.
+        from jabd_tpu.parallel.mesh import make_mesh_for_batch
+        from jabd_tpu.recognition import parallel as RP
+
+        mesh = make_mesh_for_batch(args.batch_size)
+        maker = (
+            RP.make_sharded_train_step_aug
+            if args.device_augment
+            else RP.make_sharded_train_step
+        )
+        step, state = maker(model, head, state, mesh)
+        print(
+            f"[shard-head] {ds.num_classes} classes over "
+            f"{mesh.devices.size} devices",
+            file=sys.stderr,
+        )
+    elif args.device_augment:
         step = RT.make_train_step_aug(model, head)
     else:
         step = RT.make_train_step(model, head)
@@ -320,6 +351,14 @@ def main(argv=None):
         help="run the AdaFace augmentation on the TPU inside the jitted "
         "step (crop mask + composed cv2-resample matmuls + photometric); "
         "the host only decodes",
+    )
+    sp.add_argument(
+        "--shard-head",
+        action="store_true",
+        help="PartialFC-style model parallelism: shard the classifier "
+        "kernel (and its momentum) along the class axis over all local "
+        "devices while the batch rides the data axis — the memory/scale "
+        "answer for web-scale identity counts (recognition/parallel.py)",
     )
     sp.set_defaults(fn=cmd_train)
 

@@ -23,16 +23,37 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _normalized_kernel(module, embedding_size, classnum, dtype):
+def _kernel_width(classnum: int, pad_to: int) -> int:
+    """Classifier width including padding columns (see class docstrings:
+    pad_to > 0 rounds the class count up to a multiple — used by the
+    class-sharded head (recognition/parallel.py) so the kernel divides
+    evenly across the mesh)."""
+    if pad_to <= 1:
+        return classnum
+    return -(-classnum // pad_to) * pad_to
+
+
+def _normalized_kernel(module, embedding_size, classnum, dtype, pad_to=0):
     kernel = module.param(
         "kernel",
         nn.initializers.normal(0.01),
-        (embedding_size, classnum),
+        (embedding_size, _kernel_width(classnum, pad_to)),
         jnp.float32,
     ).astype(dtype)
     return kernel / jnp.clip(
         jnp.linalg.norm(kernel, axis=0, keepdims=True), 1e-12, None
     )
+
+
+def _mask_padded(logits, classnum: int):
+    """Padding columns get a large negative logit: their softmax mass is
+    exactly 0 in f32 (exp(-3e4 - max) underflows), so the padded head is
+    numerically identical to the unpadded one, and their gradient is 0
+    (softmax prob 0, one-hot 0; the `where` blocks the cosine path)."""
+    if logits.shape[-1] == classnum:
+        return logits
+    pad_mask = jnp.arange(logits.shape[-1]) >= classnum
+    return jnp.where(pad_mask, jnp.asarray(-3e4, logits.dtype), logits)
 
 
 class AdaFaceHead(nn.Module):
@@ -43,12 +64,14 @@ class AdaFaceHead(nn.Module):
     s: float = 64.0
     t_alpha: float = 0.01  # EMA momentum of the norm statistics
     eps: float = 1e-3
+    pad_to: int = 0  # round kernel width up to a multiple (class sharding)
 
     @nn.compact
     def __call__(self, embeddings, norms, labels, train: bool = False):
         """embeddings: [B, D] l2-normalized; norms: [B, 1]; labels: [B]."""
         kernel = _normalized_kernel(
-            self, self.embedding_size, self.classnum, embeddings.dtype
+            self, self.embedding_size, self.classnum, embeddings.dtype,
+            self.pad_to,
         )
         cosine = jnp.clip(embeddings @ kernel, -1 + self.eps, 1 - self.eps)
 
@@ -74,7 +97,9 @@ class AdaFaceHead(nn.Module):
         )
         margin_scaler = jnp.clip(margin_scaler * self.h, -1.0, 1.0)
 
-        onehot = jax.nn.one_hot(labels, self.classnum, dtype=cosine.dtype)
+        onehot = jax.nn.one_hot(
+            labels, cosine.shape[-1], dtype=cosine.dtype
+        )
 
         # g_angular: theta_target + (-m * scaler)
         m_arc = -self.m * margin_scaler[:, None] * onehot
@@ -87,7 +112,7 @@ class AdaFaceHead(nn.Module):
         # g_additive: subtract m * (scaler + 1) from the target logit.
         m_cos = (self.m * margin_scaler[:, None] + self.m) * onehot
         cosine = cosine - m_cos
-        return cosine * self.s
+        return _mask_padded(cosine * self.s, self.classnum)
 
 
 class ArcFaceHead(nn.Module):
@@ -96,19 +121,23 @@ class ArcFaceHead(nn.Module):
     m: float = 0.5
     s: float = 64.0
     eps: float = 1e-3
+    pad_to: int = 0
 
     @nn.compact
     def __call__(self, embeddings, norms, labels, train: bool = False):
         kernel = _normalized_kernel(
-            self, self.embedding_size, self.classnum, embeddings.dtype
+            self, self.embedding_size, self.classnum, embeddings.dtype,
+            self.pad_to,
         )
         cosine = jnp.clip(embeddings @ kernel, -1 + self.eps, 1 - self.eps)
-        onehot = jax.nn.one_hot(labels, self.classnum, dtype=cosine.dtype)
+        onehot = jax.nn.one_hot(
+            labels, cosine.shape[-1], dtype=cosine.dtype
+        )
         theta = jnp.arccos(cosine)
         theta_m = jnp.clip(
             theta + self.m * onehot, self.eps, jnp.pi - self.eps
         )
-        return jnp.cos(theta_m) * self.s
+        return _mask_padded(jnp.cos(theta_m) * self.s, self.classnum)
 
 
 class CosFaceHead(nn.Module):
@@ -117,15 +146,21 @@ class CosFaceHead(nn.Module):
     m: float = 0.4
     s: float = 64.0
     eps: float = 1e-3
+    pad_to: int = 0
 
     @nn.compact
     def __call__(self, embeddings, norms, labels, train: bool = False):
         kernel = _normalized_kernel(
-            self, self.embedding_size, self.classnum, embeddings.dtype
+            self, self.embedding_size, self.classnum, embeddings.dtype,
+            self.pad_to,
         )
         cosine = jnp.clip(embeddings @ kernel, -1 + self.eps, 1 - self.eps)
-        onehot = jax.nn.one_hot(labels, self.classnum, dtype=cosine.dtype)
-        return (cosine - self.m * onehot) * self.s
+        onehot = jax.nn.one_hot(
+            labels, cosine.shape[-1], dtype=cosine.dtype
+        )
+        return _mask_padded(
+            (cosine - self.m * onehot) * self.s, self.classnum
+        )
 
 
 def build_head(
@@ -136,20 +171,28 @@ def build_head(
     h: float = 0.333,
     t_alpha: float = 0.01,
     s: float = 64.0,
+    pad_to: int = 0,
 ):
-    """The interface train_val.py:34-42 expects from the missing head.py."""
+    """The interface train_val.py:34-42 expects from the missing head.py.
+
+    pad_to > 0 pads the classifier width to a multiple (exact — padded
+    columns are masked to -3e4 pre-softmax); the class-sharded trainer
+    (recognition/parallel.py) passes the mesh size here so the kernel
+    divides evenly across devices."""
     head_type = head_type.lower()
     if head_type == "adaface":
         return AdaFaceHead(
             classnum=class_num, embedding_size=embedding_size, m=m, h=h,
-            s=s, t_alpha=t_alpha,
+            s=s, t_alpha=t_alpha, pad_to=pad_to,
         )
     if head_type == "arcface":
         return ArcFaceHead(
-            classnum=class_num, embedding_size=embedding_size, m=m, s=s
+            classnum=class_num, embedding_size=embedding_size, m=m, s=s,
+            pad_to=pad_to,
         )
     if head_type == "cosface":
         return CosFaceHead(
-            classnum=class_num, embedding_size=embedding_size, m=m, s=s
+            classnum=class_num, embedding_size=embedding_size, m=m, s=s,
+            pad_to=pad_to,
         )
     raise ValueError(f"unknown head type {head_type!r}")

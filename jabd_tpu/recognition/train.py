@@ -84,9 +84,13 @@ def create_state(
         rng, demb, dnorm, jnp.zeros((1,), jnp.int32)
     )
     params = {"model": mv["params"], "head": hv["params"]}
+    # Plain-dict empties (not core.FrozenDict): the train step's output
+    # batch_stats come back from apply(mutable=...) as plain dicts, and
+    # pjit out_shardings prefix-matching (recognition/parallel.py)
+    # requires the container TYPES to agree at every node.
     batch_stats = {
-        "model": mv.get("batch_stats", core.FrozenDict()),
-        "head": hv.get("batch_stats", core.FrozenDict()),
+        "model": dict(mv.get("batch_stats", {})),
+        "head": dict(hv.get("batch_stats", {})),
     }
     tx = make_optimizer(lr, milestones)
     return RecTrainState(
