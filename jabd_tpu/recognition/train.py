@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import core, struct
+from flax import struct
 
 from jabd_tpu.recognition import net as N
 from jabd_tpu.recognition import verification as V
