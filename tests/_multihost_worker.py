@@ -62,6 +62,75 @@ def main():
     np.testing.assert_allclose(g_host, expected)
     print(f"proc{proc_id} grad_psum={float(g_host.flat[0])} OK")
 
+    # --- Class-sharded margin head ACROSS processes (tp+dp over DCN):
+    # the recognition/parallel.py layout with the classifier kernel
+    # sharded over the same 2-process mesh the batch rides. Loss and
+    # the local kernel-gradient shard must match a single-device
+    # reference over the full global batch (all inputs deterministic,
+    # so every process can rebuild the reference locally).
+    import optax
+
+    from jabd_tpu.recognition.heads import build_head
+
+    D, C, BL = 8, 16, 2  # embedding dim, classes, local batch
+    head = build_head("cosface", embedding_size=D, class_num=C)
+    rngk = jax.random.PRNGKey(0)
+
+    def local_emb(p):
+        e = np.asarray(
+            jax.random.normal(jax.random.fold_in(rngk, p), (BL, D)),
+            np.float32,
+        )
+        return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+    el = local_emb(proc_id)
+    ll = np.arange(BL, dtype=np.int32) + proc_id * BL
+    emb = multihost_utils.host_local_array_to_global_array(
+        el, mesh, P(M.DATA_AXIS)
+    )
+    labels = multihost_utils.host_local_array_to_global_array(
+        ll, mesh, P(M.DATA_AXIS)
+    )
+    norms1 = multihost_utils.host_local_array_to_global_array(
+        np.ones((BL, 1), np.float32), mesh, P(M.DATA_AXIS)
+    )
+    vh = head.init(
+        rngk,
+        jnp.asarray(el),
+        jnp.ones((BL, 1), jnp.float32),
+        jnp.asarray(ll),
+    )
+    k_host = np.asarray(vh["params"]["kernel"])  # deterministic init
+    ksh = NamedSharding(mesh, P(None, M.DATA_AXIS))
+    k = jax.make_array_from_callback(
+        k_host.shape, ksh, lambda idx: k_host[idx]
+    )
+
+    def loss_fn(kern, e, n, y):
+        logits = head.apply({"params": {"kernel": kern}}, e, n, y)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y
+        ).mean()
+
+    loss, gk = jax.jit(jax.value_and_grad(loss_fn))(k, emb, norms1, labels)
+
+    # Single-device reference over the full global batch.
+    e_full = jnp.asarray(np.concatenate([local_emb(p) for p in range(num_procs)]))
+    y_full = jnp.arange(BL * num_procs, dtype=jnp.int32)
+    n_full = jnp.ones((BL * num_procs, 1), jnp.float32)
+    ref_loss, ref_gk = jax.value_and_grad(loss_fn)(
+        jnp.asarray(k_host), e_full, n_full, y_full
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    shard = gk.addressable_shards[0]
+    np.testing.assert_allclose(
+        np.asarray(shard.data),
+        np.asarray(ref_gk)[shard.index],
+        rtol=1e-4,
+        atol=1e-7,
+    )
+    print(f"proc{proc_id} sharded_head loss={float(loss):.4f} OK")
+
 
 if __name__ == "__main__":
     main()

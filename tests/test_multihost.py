@@ -53,6 +53,7 @@ def test_two_process_mesh_grad_psum():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{i} failed:\n{out}"
         assert f"proc{i} grad_psum=6.0 OK" in out, out
+        assert f"proc{i} sharded_head" in out, out  # tp+dp across procs
 
 
 def test_single_process_call_is_noop():
