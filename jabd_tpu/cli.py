@@ -33,17 +33,16 @@ def _get_config(name):
         sys.exit(str(e.args[0]) if e.args else str(e))
 
 
-def _load_predictor(args):
+def _load_variables(args, mcfg, input_size):
+    """Model variables from --weights: a torch .pth (family-dispatched
+    converter), an orbax checkpoint dir, or random init."""
     import jax
     import jax.numpy as jnp
 
-    from jabd_tpu import configs
     from jabd_tpu.models import build_model
-    from jabd_tpu.predict import Predictor
 
-    mcfg = _get_config(args.model)
     model = build_model(mcfg, mode="eval")
-    shape = (1, args.input_size, args.input_size, 3)
+    shape = (1, input_size, input_size, 3)
     if args.weights:
         from jabd_tpu.utils.torch_convert import (
             convert_state_dict_auto,
@@ -80,12 +79,33 @@ def _load_predictor(args):
         variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
             jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32)
         )
+    return variables
+
+
+def _load_predictor(args):
+    from jabd_tpu import configs
+    from jabd_tpu.predict import Predictor
+
+    mcfg = _get_config(args.model)
+    variables = _load_variables(args, mcfg, args.input_size)
     pcfg = configs.PredictConfig(
         confidence=args.confidence,
         nms_iou=args.nms_iou,
         input_shape=(args.input_size, args.input_size),
     )
-    return Predictor(mcfg, variables, pcfg)
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        # Shard serving batches over every local chip (the reference's
+        # nn.DataParallel wrap, predict.py:109, as a shard_map mesh).
+        from jabd_tpu.parallel.mesh import make_mesh_for_batch
+
+        mesh = make_mesh_for_batch(max(getattr(args, "batch_size", 1), 1))
+        if mesh.size > 1:
+            print(
+                f"[mesh] serving sharded over {mesh.size} devices",
+                file=sys.stderr,
+            )
+    return Predictor(mcfg, variables, pcfg, mesh=mesh)
 
 
 def _draw(image, dets):
@@ -119,8 +139,59 @@ def _imread(path):
     return img
 
 
+def cmd_export(args):
+    """Serialize the fused detect graph + params to an AOT serving
+    artifact (jabd_tpu/aot.py). Cross-builds: a CPU host can emit
+    TPU artifacts (the Pallas NMS lowers to Mosaic without a chip)."""
+    from jabd_tpu.aot import export_detector
+
+    pred = _load_predictor(args)
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p)
+    out = export_detector(
+        pred,
+        args.out,
+        batch_size=args.batch_size,
+        platforms=platforms,
+        model_name=args.model,
+    )
+    sizes = {
+        n: os.path.getsize(os.path.join(out, n)) for n in os.listdir(out)
+    }
+    print(json.dumps({"out": out, "platforms": platforms, "bytes": sizes}))
+
+
+def cmd_export_pth(args):
+    """Export TPU-trained weights to a reference-compatible torch .pth
+    (utils/torch_convert.py reverse path): loads like any checkpoint
+    saved by the reference's own train scripts
+    (utils_fit_change.py:60-63), so models round-trip back into
+    `nets/*.py` for cross-checking or GPU serving."""
+    from jabd_tpu.utils.torch_convert import (
+        export_state_dict_auto,
+        save_pth,
+    )
+
+    mcfg = _get_config(args.model)
+    variables = _load_variables(args, mcfg, args.input_size)
+    sd = export_state_dict_auto(variables, mcfg)
+    save_pth(sd, args.out)
+    print(json.dumps({"out": args.out, "keys": len(sd)}))
+
+
 def cmd_predict(args):
     import cv2
+
+    if getattr(args, "exported", ""):
+        from jabd_tpu.aot import load_exported
+
+        pred = load_exported(args.exported)
+        img = _imread(args.image)
+        dets = pred.detect_image(img)
+        print(f"{len(dets)} faces (AOT artifact)")
+        out = args.out or "out_" + os.path.basename(args.image)
+        cv2.imwrite(out, _draw(img, dets))
+        print("wrote", out)
+        return
 
     pred = _load_predictor(args)
     img = _imread(args.image)
@@ -388,7 +459,38 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--image", required=True)
     sp.add_argument("--out", default="")
+    sp.add_argument(
+        "--exported",
+        default="",
+        help="serve from an AOT artifact dir (cli export) instead of "
+        "building the model — no --model/--weights needed",
+    )
     sp.set_defaults(fn=cmd_predict)
+
+    sp = sub.add_parser(
+        "export",
+        help="serialize the fused detect graph to an AOT serving "
+        "artifact (StableHLO + params + manifest)",
+    )
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--batch-size", type=int, default=1)
+    sp.add_argument(
+        "--platforms",
+        default="tpu",
+        help="comma list; 'tpu' alone uses the Pallas NMS kernel, "
+        "multi-platform artifacts fall back to the XLA NMS",
+    )
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser(
+        "export-pth",
+        help="export weights (orbax checkpoint or random init) to a "
+        "reference-compatible torch .pth state dict",
+    )
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_export_pth)
 
     sp = sub.add_parser("dir-predict")
     common(sp)
@@ -400,6 +502,12 @@ def main(argv=None):
         default=1,
         help=">1 batches mixed-size images through one compiled graph "
         "(on-device letterbox)",
+    )
+    sp.add_argument(
+        "--data-parallel",
+        action="store_true",
+        help="shard serving batches over all local devices (DataParallel "
+        "analog; batch size must divide the device count)",
     )
     sp.set_defaults(fn=cmd_dir_predict)
 
@@ -437,6 +545,11 @@ def main(argv=None):
         type=int,
         default=1,
         help=">1 runs the fused batched val sweep (BASELINE config #2)",
+    )
+    sp.add_argument(
+        "--data-parallel",
+        action="store_true",
+        help="shard the val sweep's batches over all local devices",
     )
     sp.add_argument(
         "--multiscale",

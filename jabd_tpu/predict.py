@@ -118,6 +118,33 @@ def detect_batch(
 _letterbox_batch_jit = jax.jit(I.letterbox_batch_device)
 
 
+def undo_letterbox_pixels(
+    dets: np.ndarray,
+    input_hw: Tuple[int, int],
+    image_hw: Tuple[int, int],
+    letterbox: bool = True,
+) -> np.ndarray:
+    """Normalized letterboxed dets [N, 15] -> original-image pixel coords
+    (retinaface_correct_boxes + the predict.py:194-205 scaling). Mutates
+    and returns `dets`."""
+    if len(dets) == 0:
+        return np.zeros((0, 15), np.float32)
+    ih, iw = image_hw
+    if letterbox:
+        (ox, oy), (sx, sy) = I.correct_boxes_scale_offset(
+            input_hw, image_hw
+        )
+        dets[:, [0, 2]] = (dets[:, [0, 2]] - ox) * sx
+        dets[:, [1, 3]] = (dets[:, [1, 3]] - oy) * sy
+        dets[:, 5::2] = (dets[:, 5::2] - ox) * sx
+        dets[:, 6::2] = (dets[:, 6::2] - oy) * sy
+    dets[:, [0, 2]] *= iw
+    dets[:, [1, 3]] *= ih
+    dets[:, 5::2] *= iw
+    dets[:, 6::2] *= ih
+    return dets
+
+
 class Predictor:
     """App-level predictor (the reference `Retinaface` class, predict.py:24).
 
@@ -132,7 +159,16 @@ class Predictor:
         predict_cfg: Optional[configs.PredictConfig] = None,
         use_pallas: Optional[bool] = None,
         fold_bn: bool = True,
+        mesh=None,
     ):
+        """`mesh`: an optional 1-D `jax.sharding.Mesh` (parallel/mesh.py).
+        When given (and larger than one device), batched entry points
+        shard the batch axis across it — the TPU-native replacement for
+        the reference's `nn.DataParallel` serving wrap (predict.py:109).
+        Params are replicated; the fused detect graph runs under
+        `shard_map` so the Pallas NMS kernel executes per-shard (GSPMD
+        can't partition an opaque kernel call). Batch sizes must divide
+        the mesh size."""
         self.mcfg = model_cfg
         self.pcfg = predict_cfg or configs.PredictConfig()
         if fold_bn:
@@ -148,12 +184,21 @@ class Predictor:
                 else None
             )
             variables = fold_batchnorm(variables, cast=cast)
-        self.variables = variables
         self.model = build_model(model_cfg, mode="eval")
         self.use_pallas = (
             _use_pallas_default() if use_pallas is None else use_pallas
         )
         self._apply = functools.partial(self._apply_fn)
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        self._sharded_detect = None
+        self.variables = self._place_variables(variables)
+
+    def _place_variables(self, variables):
+        if self.mesh is not None:
+            from jabd_tpu.parallel import mesh as M
+
+            return M.replicate_tree(variables, self.mesh)
+        return variables
 
     def quantize_int8(
         self, sample_images: np.ndarray, search_clip: bool = False
@@ -190,9 +235,10 @@ class Predictor:
             ratio, _ = search_clip_ratio(
                 self.model, self.variables, calib, [x]
             )
-        self.variables, n = quantize_variables(
+        variables, n = quantize_variables(
             self.variables, calib, clip_ratio=ratio
         )
+        self.variables = self._place_variables(variables)
         return n
 
     def _apply_fn(self, variables, images):
@@ -201,21 +247,77 @@ class Predictor:
     def _anchors_for(self, hw: Tuple[int, int]) -> jnp.ndarray:
         return jnp.asarray(A.generate_anchors(self.mcfg.anchors, hw))
 
+    def _sharded_detect_fn(self):
+        """jit(shard_map(detect graph)) over the data axis — built once.
+
+        shard_map (not bare jit-with-shardings) because the Pallas NMS
+        kernel is an opaque custom call GSPMD can't split; inside
+        shard_map each device runs the whole graph on its local batch
+        shard, which is exactly DataParallel's semantics."""
+        if self._sharded_detect is None:
+            from jax.sharding import PartitionSpec as P
+
+            from jabd_tpu.parallel.mesh import DATA_AXIS
+
+            def core(variables, images, anchors):
+                return detect_batch(
+                    self._apply,
+                    variables,
+                    images,
+                    anchors,
+                    self.pcfg,
+                    variances=self.mcfg.anchors.variance,
+                    use_pallas=self.use_pallas,
+                )
+
+            self._sharded_detect = jax.jit(
+                jax.shard_map(
+                    core,
+                    mesh=self.mesh,
+                    in_specs=(P(), P(DATA_AXIS), P()),
+                    out_specs=P(DATA_AXIS),
+                    # the body is per-sample compute only (no collectives);
+                    # vma checking rejects the Pallas call, disable it
+                    check_vma=False,
+                )
+            )
+        return self._sharded_detect
+
+    def _detect_core(self, images: jnp.ndarray, hw: Tuple[int, int]):
+        """Dispatch a mean-subtracted [B, *hw, 3] device batch through the
+        fused graph — sharded over `self.mesh` when one was given."""
+        anchors = self._anchors_for(hw)
+        if self.mesh is not None:
+            from jabd_tpu.parallel import mesh as M
+
+            b = images.shape[0]
+            if b % self.mesh.size:
+                raise ValueError(
+                    f"batch size {b} must divide the serving mesh size "
+                    f"{self.mesh.size} (pad the batch or shrink the mesh)"
+                )
+            images = jax.device_put(images, M.batch_sharding(self.mesh))
+            anchors = jax.device_put(anchors, M.replicate(self.mesh))
+            return self._sharded_detect_fn()(
+                self.variables, images, anchors
+            )
+        return detect_batch(
+            self._apply,
+            self.variables,
+            images,
+            anchors,
+            self.pcfg,
+            variances=self.mcfg.anchors.variance,
+            use_pallas=self.use_pallas,
+        )
+
     # -- core entry points --------------------------------------------------
 
     def detect_preprocessed(self, images: np.ndarray):
         """images: [B, H, W, 3] float32 already mean-subtracted. Returns
         (dets [B, max_out, 15] normalized, valid [B, max_out])."""
         hw = images.shape[1:3]
-        return detect_batch(
-            self._apply,
-            self.variables,
-            jnp.asarray(images),
-            self._anchors_for(hw),
-            self.pcfg,
-            variances=self.mcfg.anchors.variance,
-            use_pallas=self.use_pallas,
-        )
+        return self._detect_core(jnp.asarray(images), tuple(hw))
 
     def detect_images(self, images) -> list:
         """Batched detection over ARBITRARY-SIZED uint8 images with ONE
@@ -249,42 +351,31 @@ class Predictor:
             )
         )
         mv, mh, iv, ih_ = (np.stack(p) for p in zip(*parts))
-        frames = _letterbox_batch_jit(
+        lb_in = [
             jnp.asarray(np.stack(padded)),
             jnp.asarray(mv),
             jnp.asarray(mh),
             jnp.asarray(iv),
             jnp.asarray(ih_),
-        )
-        dets_b, valid_b = detect_batch(
-            self._apply,
-            self.variables,
-            frames,
-            self._anchors_for((th, tw)),
-            self.pcfg,
-            variances=self.mcfg.anchors.variance,
-            use_pallas=self.use_pallas,
-        )
+        ]
+        if self.mesh is not None and len(images) % self.mesh.size == 0:
+            # Shard the letterbox inputs too: the per-sample resample
+            # einsums partition cleanly under GSPMD (no Pallas inside),
+            # and the frames arrive already laid out for _detect_core.
+            from jabd_tpu.parallel import mesh as M
+
+            sh = M.batch_sharding(self.mesh)
+            lb_in = [jax.device_put(x, sh) for x in lb_in]
+        frames = _letterbox_batch_jit(*lb_in)
+        dets_b, valid_b = self._detect_core(frames, (th, tw))
         out = []
         for i, image in enumerate(images):
-            ihh, iww = image.shape[:2]
             dets = np.asarray(dets_b[i])[np.asarray(valid_b[i])]
-            if len(dets) == 0:
-                out.append(np.zeros((0, 15), np.float32))
-                continue
-            if self.pcfg.letterbox:
-                (ox, oy), (sx, sy) = I.correct_boxes_scale_offset(
-                    (th, tw), (ihh, iww)
+            out.append(
+                undo_letterbox_pixels(
+                    dets, (th, tw), image.shape[:2], self.pcfg.letterbox
                 )
-                dets[:, [0, 2]] = (dets[:, [0, 2]] - ox) * sx
-                dets[:, [1, 3]] = (dets[:, [1, 3]] - oy) * sy
-                dets[:, 5::2] = (dets[:, 5::2] - ox) * sx
-                dets[:, 6::2] = (dets[:, 6::2] - oy) * sy
-            dets[:, [0, 2]] *= iww
-            dets[:, [1, 3]] *= ihh
-            dets[:, 5::2] *= iww
-            dets[:, 6::2] *= ihh
-            out.append(dets)
+            )
         return out
 
     def detect_image(self, image: np.ndarray) -> np.ndarray:
@@ -305,22 +396,9 @@ class Predictor:
         x = I.preprocess_input_np(x.astype(np.float32))[None]
         dets, valid = self.detect_preprocessed(x)
         dets = np.asarray(dets[0])[np.asarray(valid[0])]
-        if len(dets) == 0:
-            return np.zeros((0, 15), np.float32)
-        if self.pcfg.letterbox:
-            (ox, oy), (sx, sy) = I.correct_boxes_scale_offset(
-                (th, tw), (ih, iw)
-            )
-            dets[:, [0, 2]] = (dets[:, [0, 2]] - ox) * sx
-            dets[:, [1, 3]] = (dets[:, [1, 3]] - oy) * sy
-            dets[:, 5::2] = (dets[:, 5::2] - ox) * sx
-            dets[:, 6::2] = (dets[:, 6::2] - oy) * sy
-        # Scale to original pixels (predict.py:194-205 semantics).
-        dets[:, [0, 2]] *= iw
-        dets[:, [1, 3]] *= ih
-        dets[:, 5::2] *= iw
-        dets[:, 6::2] *= ih
-        return dets
+        return undo_letterbox_pixels(
+            dets, (th, tw), (ih, iw), self.pcfg.letterbox
+        )
 
     def detect_multiscale(
         self, image: np.ndarray, scales=(0.5, 1.0, 1.5)

@@ -1,0 +1,159 @@
+"""AOT serving artifacts (jabd_tpu/aot.py, jax.export/StableHLO).
+
+The artifact must reproduce the live Predictor exactly (same fused graph,
+same folded params), load without any model-building code, and refuse
+mismatched platforms/batches loudly.
+"""
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jabd_tpu import configs
+from jabd_tpu.aot import (
+    AotDetector,
+    export_detector,
+    export_embedder,
+    load_exported,
+)
+from jabd_tpu.models import build_model
+from jabd_tpu.predict import Predictor
+
+pytestmark = pytest.mark.slow  # compile-heavy module
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    mcfg = dataclasses.replace(
+        configs.get_model_config("retinaface_mnet025"),
+        compute_dtype="float32",
+    )
+    model = build_model(mcfg, mode="eval")
+    variables = jax.jit(lambda r, i: model.init(r, i, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    pcfg = configs.PredictConfig(
+        confidence=0.02,
+        input_shape=(64, 64),
+        max_detections=50,
+        pre_nms_topk=128,
+    )
+    return Predictor(mcfg, variables, pcfg, use_pallas=False)
+
+
+@pytest.fixture(scope="module")
+def artifact(predictor, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("aot"))
+    export_detector(
+        predictor,
+        d,
+        batch_size=2,
+        platforms=("cpu",),
+        model_name="retinaface_mnet025",
+    )
+    return d
+
+
+def test_artifact_files(artifact):
+    names = set(os.listdir(artifact))
+    assert {"graph.jaxexport", "params.msgpack", "manifest.json"} <= names
+    with open(os.path.join(artifact, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["kind"] == "detector" and m["batch_size"] == 2
+    assert m["pcfg"]["confidence"] == pytest.approx(0.02)
+
+
+def test_loaded_matches_live_predictor(artifact, predictor, rng):
+    aot = load_exported(artifact)
+    assert isinstance(aot, AotDetector)
+    x = rng.normal(0, 50, (2, 64, 64, 3)).astype(np.float32)
+    d0, v0 = predictor.detect_preprocessed(x)
+    d1, v1 = aot.detect_preprocessed(x)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(
+        np.asarray(d0), np.asarray(d1), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_detect_image_matches(artifact, predictor, rng):
+    aot = load_exported(artifact)
+    img = rng.integers(0, 255, (48, 80, 3), dtype=np.uint8)
+    a = predictor.detect_image(img)
+    b = aot.detect_image(img)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+
+def test_batch_mismatch_raises(artifact, rng):
+    aot = load_exported(artifact)
+    with pytest.raises(ValueError, match="batch"):
+        aot.detect_preprocessed(
+            rng.normal(0, 1, (3, 64, 64, 3)).astype(np.float32)
+        )
+
+
+def test_future_version_refused(artifact, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "newer")
+    shutil.copytree(artifact, d)
+    p = os.path.join(d, "manifest.json")
+    with open(p) as f:
+        m = json.load(f)
+    m["version"] = 99
+    with open(p, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="version"):
+        load_exported(d)
+
+
+def test_tpu_crossbuild_from_cpu_host(predictor, tmp_path):
+    """A CPU-only host can emit the production TPU artifact (Pallas NMS
+    included); loading it HERE must refuse (backend mismatch) instead of
+    failing deep inside execution."""
+    d = str(tmp_path / "tpu_artifact")
+    export_detector(predictor, d, batch_size=1, platforms=("tpu",))
+    with open(os.path.join(d, "manifest.json")) as f:
+        assert json.load(f)["use_pallas"] is True
+    with pytest.raises(ValueError, match="backend"):
+        load_exported(d)
+
+
+def test_pallas_multiplatform_refused(predictor, tmp_path):
+    with pytest.raises(ValueError, match="[Pp]allas"):
+        export_detector(
+            predictor,
+            str(tmp_path / "x"),
+            platforms=("cpu", "tpu"),
+            use_pallas=True,
+        )
+
+
+def test_embedder_roundtrip(tmp_path, rng):
+    from jabd_tpu.recognition import build_model as build_ir
+
+    model = build_ir("ir_18")
+    x0 = jnp.zeros((1, 56, 56, 3), jnp.float32)
+    variables = jax.jit(lambda r, i: model.init(r, i, train=False))(
+        jax.random.PRNGKey(1), x0
+    )
+    d = str(tmp_path / "emb")
+    export_embedder(
+        model, variables, d, batch_size=2, image_size=56,
+        platforms=("cpu",), model_name="ir_18",
+    )
+    aot = load_exported(d)
+    x = rng.normal(0, 1, (2, 56, 56, 3)).astype(np.float32)
+    e0, n0 = model.apply(variables, jnp.asarray(x), train=False)
+    e1, n1 = aot.embed(x)
+    np.testing.assert_allclose(
+        np.asarray(e0), np.asarray(e1), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(n0), np.asarray(n1), rtol=1e-5, atol=1e-5
+    )

@@ -1,0 +1,162 @@
+"""JAX -> torch state-dict export (utils/torch_convert.py reverse path).
+
+Two layers of proof:
+1. Pure round-trip identity per backbone family: random-init flax
+   variables -> export_state_dict_auto -> convert_state_dict_auto must
+   reproduce the exact tree (structure AND values) — the forward and
+   reverse walks are the same declarative mapping, so any drift fails.
+2. Against the reference's own module (skip-if-unmounted): reference
+   state dict -> JAX -> back to torch -> load into a FRESH reference
+   module; its forward must match the original byte-for-byte.
+"""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jabd_tpu import configs
+from jabd_tpu.models import build_model
+from jabd_tpu.utils.torch_convert import (
+    convert_state_dict_auto,
+    export_state_dict_auto,
+)
+
+pytestmark = pytest.mark.slow  # model-init-heavy module
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v)
+    return out
+
+
+def _init_variables(preset, size=64):
+    mcfg = dataclasses.replace(
+        configs.get_model_config(preset), compute_dtype="float32"
+    )
+    model = build_model(mcfg, mode="eval")
+    variables = jax.jit(lambda r, i: model.init(r, i, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32)
+    )
+    return mcfg, variables
+
+
+@pytest.mark.parametrize(
+    "preset",
+    [
+        "retinaface_mnet025",  # conv_dw family
+        "mnet_v3_plain",  # MNV3 with applied SE blocks
+        "jabd_flagship",  # MNV3-eca + taps + NLM + eca_fpn
+        "re50_eca_nonlocal",  # resnet + legacy tap names (predict.py model)
+        "re152_4level",  # raw152 FPN variant + shared merge + ssh share
+        "epsa50_4level",  # EPSA PSA blocks
+    ],
+)
+def test_roundtrip_identity(preset):
+    mcfg, variables = _init_variables(preset)
+    sd = export_state_dict_auto(variables, mcfg)
+    params, stats = convert_state_dict_auto(sd, mcfg)
+
+    want_p = _flatten(jax.device_get(variables["params"]))
+    want_s = _flatten(jax.device_get(variables["batch_stats"]))
+    got_p = _flatten(params)
+    got_s = _flatten(stats)
+    assert set(got_p) == set(want_p), (
+        set(want_p) ^ set(got_p)
+    )  # walk must cover the WHOLE tree — missing paths mean converter drift
+    assert set(got_s) == set(want_s), set(want_s) ^ set(got_s)
+    for k in want_p:
+        np.testing.assert_array_equal(got_p[k], want_p[k], err_msg=str(k))
+    for k in want_s:
+        np.testing.assert_array_equal(got_s[k], want_s[k], err_msg=str(k))
+
+
+def test_folded_variables_refused():
+    from jabd_tpu.models.fold import fold_batchnorm
+
+    mcfg, variables = _init_variables("retinaface_mnet025")
+    folded = fold_batchnorm(variables)
+    with pytest.raises(ValueError, match="fold"):
+        export_state_dict_auto(folded, mcfg)
+
+
+def test_cli_export_pth(tmp_path):
+    torch = pytest.importorskip("torch")
+    from jabd_tpu import cli
+
+    out = str(tmp_path / "m.pth")
+    cli.main(
+        [
+            "export-pth",
+            "--model",
+            "retinaface_mnet025",
+            "--input-size",
+            "64",
+            "--out",
+            out,
+        ]
+    )
+    sd = torch.load(out, map_location="cpu", weights_only=True)
+    assert any(k.startswith("body.stage1") for k in sd)
+    assert any(k.startswith("ClassHead.0") for k in sd)
+
+
+REF_ROOT = "/root/reference/JABD2080ti"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference tree not mounted"
+)
+def test_reference_module_roundtrip(rng):
+    """reference sd -> JAX -> exported sd -> fresh reference module:
+    zero missing/unexpected keys and identical forward outputs."""
+    torch = pytest.importorskip("torch")
+    from test_reference_backbones import (
+        _MNET025_CFG,
+        _load_ref_vanilla_retinaface,
+        _nchw,
+        _randomize_bn,
+    )
+
+    ref_rf = _load_ref_vanilla_retinaface()
+    tm = ref_rf.RetinaFace(
+        cfg=_MNET025_CFG, pretrained=False, mode="train"
+    ).eval()
+    _randomize_bn(tm)
+    sd0 = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    mcfg = dataclasses.replace(
+        configs.get_model_config("retinaface_mnet025"),
+        compute_dtype="float32",
+    )
+    params, stats = convert_state_dict_auto(sd0, mcfg)
+    sd1 = export_state_dict_auto(
+        {"params": params, "batch_stats": stats}, mcfg
+    )
+
+    tm2 = ref_rf.RetinaFace(
+        cfg=_MNET025_CFG, pretrained=False, mode="train"
+    ).eval()
+    res = tm2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd1.items()},
+        strict=False,
+    )
+    assert res.missing_keys == [], res.missing_keys
+    assert res.unexpected_keys == [], res.unexpected_keys
+
+    x = _nchw(rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    with torch.no_grad():
+        a = tm(x)
+        b = tm2(x)
+    for name, ta, tb in zip(("bbox", "cls", "landm"), a, b):
+        np.testing.assert_array_equal(
+            ta.numpy(), tb.numpy(), err_msg=name
+        )
