@@ -130,16 +130,40 @@ def export_detector(
 
 class AotDetector:
     """Serving-side twin of `Predictor`, driven purely by an artifact dir
-    — no model build, no preset registry, no flax."""
+    — no model build, no preset registry, no flax.
 
-    def __init__(self, exported, variables, manifest: dict):
+    With `mesh` (a 1-D data mesh), the serialized graph runs per-shard
+    under shard_map: the artifact's batch becomes the PER-CHIP batch and
+    `detect_preprocessed` takes batch = artifact_batch * mesh.size (the
+    StableHLO module is shape-monomorphic, so each shard invokes it at
+    exactly the exported batch)."""
+
+    def __init__(self, exported, variables, manifest: dict, mesh=None):
         self._exported = exported
-        self._fn = jax.jit(exported.call)
-        self.variables = variables
         self.manifest = manifest
         self.batch_size = int(manifest["batch_size"])
         self.input_shape = tuple(manifest["input_shape"])
         self.letterbox = bool(manifest["pcfg"]["letterbox"])
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from jabd_tpu.parallel import mesh as M
+
+            variables = M.replicate_tree(variables, self.mesh)
+            self.batch_size *= self.mesh.size
+            self._fn = jax.jit(
+                jax.shard_map(
+                    exported.call,
+                    mesh=self.mesh,
+                    in_specs=(P(), P(M.DATA_AXIS)),
+                    out_specs=P(M.DATA_AXIS),
+                    check_vma=False,
+                )
+            )
+        else:
+            self._fn = jax.jit(exported.call)
+        self.variables = variables
 
     def detect_preprocessed(self, images: np.ndarray):
         """images: [batch_size, th, tw, 3] float32 mean-subtracted ->
@@ -150,7 +174,12 @@ class AotDetector:
                 f"artifact was exported for batch {self.batch_size}, "
                 f"got {b}"
             )
-        return self._fn(self.variables, jnp.asarray(images))
+        imgs = jnp.asarray(images)
+        if self.mesh is not None:
+            from jabd_tpu.parallel import mesh as M
+
+            imgs = jax.device_put(imgs, M.batch_sharding(self.mesh))
+        return self._fn(self.variables, imgs)
 
     def detect_image(self, image: np.ndarray) -> np.ndarray:
         """Single [H, W, 3] uint8/float image -> [N, 15] pixel dets (the
@@ -239,9 +268,11 @@ class AotEmbedder:
         return self._fn(self.variables, jnp.asarray(images))
 
 
-def load_exported(out_dir: str):
+def load_exported(out_dir: str, mesh=None):
     """Load an artifact dir -> AotDetector or AotEmbedder (per manifest).
 
+    `mesh` (detector only): serve the artifact data-parallel — the
+    exported batch becomes the per-chip batch (see AotDetector).
     Fails loudly if the current backend is not among the artifact's
     platforms (e.g. a tpu-only Pallas artifact on a CPU host)."""
     from flax import serialization
@@ -264,5 +295,7 @@ def load_exported(out_dir: str):
     with open(os.path.join(out_dir, _PARAMS), "rb") as f:
         variables = serialization.msgpack_restore(f.read())
     if manifest["kind"] == "detector":
-        return AotDetector(exported, variables, manifest)
+        return AotDetector(exported, variables, manifest, mesh=mesh)
+    if mesh is not None:
+        raise ValueError("mesh serving is only wired for detector artifacts")
     return AotEmbedder(exported, variables, manifest)

@@ -104,6 +104,33 @@ def _load_images(paths, batch_hint=256):
     return out
 
 
+def cmd_export(args):
+    """Serialize the embedding graph to an AOT serving artifact
+    (jabd_tpu/aot.py::export_embedder): StableHLO + params + manifest,
+    served without model code via aot.load_exported(...).embed.
+    Composes with --fold / --quantize int8 (the artifact captures the
+    folded or int8 graph)."""
+    import os
+
+    from jabd_tpu.aot import export_embedder
+
+    model, variables = _load_backbone(args)
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p)
+    out = export_embedder(
+        model,
+        variables,
+        args.out,
+        batch_size=args.batch_size,
+        image_size=112,
+        platforms=platforms,
+        model_name=args.arch,
+    )
+    sizes = {
+        n: os.path.getsize(os.path.join(out, n)) for n in os.listdir(out)
+    }
+    print(json.dumps({"out": out, "platforms": platforms, "bytes": sizes}))
+
+
 def cmd_train(args):
     import jax
     import numpy as np
@@ -361,6 +388,18 @@ def main(argv=None):
         "answer for web-scale identity counts (recognition/parallel.py)",
     )
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser(
+        "export",
+        help="serialize the embedding graph to an AOT serving artifact "
+        "(composes with --fold / --quantize int8)",
+    )
+    model_args(sp)
+    sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--platforms", default="tpu", help="comma list, e.g. tpu,cpu"
+    )
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("verify")
     model_args(sp)

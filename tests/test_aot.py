@@ -89,6 +89,30 @@ def test_detect_image_matches(artifact, predictor, rng):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
 
 
+def test_mesh_serving_matches(artifact, predictor, rng):
+    """A loaded artifact sharded over a mesh: the exported batch is the
+    per-chip batch, outputs must equal the plain artifact run per chunk."""
+    from jabd_tpu.parallel import mesh as M
+
+    mesh = M.make_mesh(jax.devices()[:2])
+    plain = load_exported(artifact)
+    sharded = load_exported(artifact, mesh=mesh)
+    assert sharded.batch_size == 2 * plain.batch_size
+    x = rng.normal(0, 50, (4, 64, 64, 3)).astype(np.float32)
+    d, v = sharded.detect_preprocessed(x)
+    for lo in (0, 2):
+        d0, v0 = plain.detect_preprocessed(x[lo : lo + 2])
+        np.testing.assert_array_equal(
+            np.asarray(v0), np.asarray(v)[lo : lo + 2]
+        )
+        np.testing.assert_allclose(
+            np.asarray(d0),
+            np.asarray(d)[lo : lo + 2],
+            rtol=1e-6,
+            atol=1e-6,
+        )
+
+
 def test_batch_mismatch_raises(artifact, rng):
     aot = load_exported(artifact)
     with pytest.raises(ValueError, match="batch"):
@@ -132,6 +156,29 @@ def test_pallas_multiplatform_refused(predictor, tmp_path):
             platforms=("cpu", "tpu"),
             use_pallas=True,
         )
+
+
+def test_recognition_cli_export(tmp_path):
+    from jabd_tpu.recognition import cli as rcli
+
+    out = str(tmp_path / "emb_artifact")
+    rcli.main(
+        [
+            "export",
+            "--arch",
+            "ir_18",
+            "--out",
+            out,
+            "--batch-size",
+            "2",
+            "--platforms",
+            "cpu",
+        ]
+    )
+    aot = load_exported(out)
+    assert aot.batch_size == 2
+    e, n = aot.embed(np.zeros((2, 112, 112, 3), np.float32))
+    assert e.shape == (2, 512)
 
 
 def test_embedder_roundtrip(tmp_path, rng):
