@@ -178,6 +178,33 @@ def cmd_export_pth(args):
     print(json.dumps({"out": args.out, "keys": len(sd)}))
 
 
+def cmd_serve(args):
+    """Serving daemon: dynamic batching over the fused graph behind a
+    stdlib HTTP endpoint (jabd_tpu/serve.py). POST /detect with image
+    bytes; GET /healthz for batching stats. Backends: a live Predictor
+    (--model/--weights, optionally --data-parallel) or an AOT artifact
+    (--exported)."""
+    from jabd_tpu.serve import BatchingDetector, serve
+
+    if args.exported:
+        from jabd_tpu.aot import load_exported
+
+        mesh = None
+        if args.data_parallel:
+            from jabd_tpu.parallel.mesh import make_mesh_for_batch
+
+            mesh = make_mesh_for_batch(args.batch_size)
+        backend = load_exported(args.exported, mesh=mesh)
+    else:
+        backend = _load_predictor(args)
+    det = BatchingDetector(
+        backend,
+        batch_size=args.batch_size,
+        max_wait_ms=args.max_wait_ms,
+    )
+    serve(det, host=args.host, port=args.port)
+
+
 def cmd_predict(args):
     import cv2
 
@@ -482,6 +509,29 @@ def main(argv=None):
         "multi-platform artifacts fall back to the XLA NMS",
     )
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser(
+        "serve",
+        help="HTTP serving daemon with dynamic batching (POST /detect, "
+        "GET /healthz)",
+    )
+    common(sp)
+    sp.add_argument("--exported", default="", help="serve an AOT artifact")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8712)
+    sp.add_argument("--batch-size", type=int, default=8)
+    sp.add_argument(
+        "--max-wait-ms",
+        type=float,
+        default=15.0,
+        help="max time to wait for batch-mates after the first request",
+    )
+    sp.add_argument(
+        "--data-parallel",
+        action="store_true",
+        help="shard serving batches over all local devices",
+    )
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser(
         "export-pth",
