@@ -146,6 +146,31 @@ def cmd_export(args):
     from jabd_tpu.aot import export_detector
 
     pred = _load_predictor(args)
+    if args.quantize == "int8":
+        # The artifact captures the int8 graph: quantize the predictor
+        # first, calibrated on real images.
+        import cv2
+
+        if not args.calib_images:
+            sys.exit(
+                "--quantize int8 export needs --calib-images <dir> "
+                "(a few representative images to calibrate activation "
+                "scales)"
+            )
+        exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+        paths = [
+            os.path.join(args.calib_images, n)
+            for n in sorted(os.listdir(args.calib_images))
+            if n.lower().endswith(exts)
+        ][:16]
+        if not paths:
+            sys.exit(f"no images in {args.calib_images!r}")
+        imgs = [cv2.imread(p) for p in paths]
+        n = pred.quantize_int8(
+            [i for i in imgs if i is not None],
+            search_clip=args.quantize_search,
+        )
+        print(f"[int8] quantized {n} conv sites", file=sys.stderr)
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p)
     out = export_detector(
         pred,
@@ -507,6 +532,13 @@ def main(argv=None):
         default="tpu",
         help="comma list; 'tpu' alone uses the Pallas NMS kernel, "
         "multi-platform artifacts fall back to the XLA NMS",
+    )
+    sp.add_argument(
+        "--calib-images",
+        default="",
+        help="with --quantize int8: directory of representative images "
+        "for activation-scale calibration (the artifact captures the "
+        "int8 graph)",
     )
     sp.set_defaults(fn=cmd_export)
 

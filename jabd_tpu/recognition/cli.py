@@ -290,6 +290,16 @@ def cmd_extract(args):
     with open(args.image_list) as f:
         paths = [line.strip() for line in f if line.strip()]
     model, variables = _load_backbone(args)
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from jabd_tpu.parallel.mesh import make_mesh_for_batch
+
+        mesh = make_mesh_for_batch(args.batch_size)
+        if mesh.size > 1:
+            print(
+                f"[mesh] extraction sharded over {mesh.size} devices",
+                file=sys.stderr,
+            )
     emb, norms = RT.extract_features_partitioned(
         model,
         variables,
@@ -298,6 +308,7 @@ def cmd_extract(args):
         num_partitions=args.partitions,
         batch_size=args.batch_size,
         save_dir=args.out_dir,
+        mesh=mesh,
     )
     np.savez(
         f"{args.out_dir}/features.npz", emb=emb, norm=norms,
@@ -438,6 +449,13 @@ def main(argv=None):
     sp.add_argument("--image-list", required=True)
     sp.add_argument("--out-dir", required=True)
     sp.add_argument("--partitions", type=int, default=100)
+    sp.add_argument(
+        "--data-parallel",
+        action="store_true",
+        help="shard extraction batches over all local devices (the "
+        "multi-chip answer to the reference's per-GPU DDP feature "
+        "sharding, validate_IJB_S.py:59-106)",
+    )
     sp.set_defaults(fn=cmd_extract)
 
     sp = sub.add_parser("ijbs")

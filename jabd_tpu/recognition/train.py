@@ -177,30 +177,71 @@ def extract_embeddings_tta(
     fusion_method: str = "pre_norm_vector_add",
     use_flip_test: bool = True,
     faceness_scores: np.ndarray | None = None,  # [N] detector scores
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Flip-TTA embedding extraction with selectable fusion
     (validate_tinyface.py:70-104 infer loop; fusion methods :29-65,
     default pre_norm_vector_add per its CLI default :128).
 
     Note train_val.py:77-104 (the 5-set verification path) hard-codes the
-    utils.py:20-29 fusion == 'pre_norm_vector_add' here."""
+    utils.py:20-29 fusion == 'pre_norm_vector_add' here.
+
+    Every batch (including the tail) is padded to `batch_size`, so the
+    whole sweep runs ONE compiled program. With `mesh` (a 1-D data
+    mesh), batches shard across devices — the multi-chip answer to the
+    reference's per-GPU DDP feature sharding (validate_IJB_S.py:59-106);
+    batch_size must divide the mesh size."""
     from jabd_tpu.recognition import identification as ID
 
-    apply = jax.jit(
-        lambda v, x: model.apply(v, x, train=False)
-    )
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from jabd_tpu.parallel import mesh as M
+
+        if batch_size % mesh.size:
+            raise ValueError(
+                f"batch_size {batch_size} must divide mesh size "
+                f"{mesh.size}"
+            )
+        variables = M.replicate_tree(variables, mesh)
+        apply = jax.jit(
+            jax.shard_map(
+                lambda v, x: model.apply(v, x, train=False),
+                mesh=mesh,
+                in_specs=(P(), P(M.DATA_AXIS)),
+                out_specs=P(M.DATA_AXIS),
+                check_vma=False,
+            )
+        )
+
+        def put(x):
+            return jax.device_put(x, M.batch_sharding(mesh))
+
+    else:
+        apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+        def put(x):
+            return x
+
     embs, norms = [], []
     n = len(images)
     for lo in range(0, n, batch_size):
-        x = jnp.asarray(images[lo : lo + batch_size])
+        xs = images[lo : lo + batch_size]
+        nb = len(xs)
+        if nb < batch_size:  # pad the tail: one program, no recompiles
+            xs = np.concatenate(
+                [xs, np.zeros((batch_size - nb, *xs.shape[1:]), xs.dtype)]
+            )
+        x = put(jnp.asarray(xs))
         e1, n1 = apply(variables, x)
         if not use_flip_test:
-            embs.append(np.asarray(e1))
-            norms.append(np.asarray(n1))
+            embs.append(np.asarray(e1)[:nb])
+            norms.append(np.asarray(n1)[:nb])
             continue
-        e2, n2 = apply(variables, x[:, :, ::-1, :])  # horizontal flip
-        stacked_e = np.stack([np.asarray(e1), np.asarray(e2)])
-        stacked_n = np.stack([np.asarray(n1), np.asarray(n2)])
+        # flip on the full padded batch (same program, mesh-divisible)
+        e2, n2 = apply(variables, put(jnp.asarray(xs[:, :, ::-1, :])))
+        stacked_e = np.stack([np.asarray(e1)[:nb], np.asarray(e2)[:nb]])
+        stacked_n = np.stack([np.asarray(n1)[:nb], np.asarray(n2)[:nb]])
         fs = (
             faceness_scores[lo : lo + batch_size]
             if faceness_scores is not None
@@ -225,6 +266,7 @@ def extract_features_partitioned(
     num_partitions: int = 100,
     batch_size: int = 256,
     save_dir: str | None = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """IJB-S-scale feature extraction in bounded-memory partitions
     (validate_IJB_S.py:59-106: the probe sets are millions of frames, so
@@ -253,7 +295,7 @@ def extract_features_partitioned(
             continue
         images = np.stack([image_loader(i) for i in range(lo, hi)])
         emb, norm = extract_embeddings_tta(
-            model, variables, images, batch_size
+            model, variables, images, batch_size, mesh=mesh
         )
         if part_file:
             os.makedirs(save_dir, exist_ok=True)

@@ -158,6 +158,38 @@ def test_pallas_multiplatform_refused(predictor, tmp_path):
         )
 
 
+def test_int8_artifact_matches_live(tmp_path, rng):
+    """An artifact exported AFTER quantize_int8 captures the int8 graph:
+    loading it must reproduce the live quantized predictor."""
+    mcfg = dataclasses.replace(
+        configs.get_model_config("retinaface_mnet025"),
+        compute_dtype="float32",
+    )
+    model = build_model(mcfg, mode="eval")
+    variables = jax.jit(lambda r, i: model.init(r, i, train=False))(
+        jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    pcfg = configs.PredictConfig(
+        confidence=0.02, input_shape=(64, 64), max_detections=50,
+        pre_nms_topk=128,
+    )
+    pred = Predictor(mcfg, variables, pcfg, use_pallas=False)
+    n = pred.quantize_int8(
+        [rng.integers(0, 255, (64, 64, 3), dtype=np.uint8) for _ in range(2)]
+    )
+    assert n > 0
+    d = str(tmp_path / "int8")
+    export_detector(pred, d, batch_size=2, platforms=("cpu",))
+    aot = load_exported(d)
+    x = rng.normal(0, 50, (2, 64, 64, 3)).astype(np.float32)
+    d0, v0 = pred.detect_preprocessed(x)
+    d1, v1 = aot.detect_preprocessed(x)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(
+        np.asarray(d0), np.asarray(d1), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_recognition_cli_export(tmp_path):
     from jabd_tpu.recognition import cli as rcli
 

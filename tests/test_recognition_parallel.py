@@ -193,3 +193,31 @@ def test_unpadded_uneven_kernel_raises():
     )
     with pytest.raises(ValueError, match="pad_to"):
         RP.rec_state_shardings(state, mesh)
+
+
+def test_sharded_extraction_matches(rng):
+    """Mesh-sharded flip-TTA feature extraction (the multi-chip analog
+    of validate_IJB_S.py:59-106's per-GPU sharding) must agree with the
+    single-device path, including the padded tail batch."""
+    from jabd_tpu.recognition.train import extract_embeddings_tta
+
+    model = build_ir("ir_18")
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(2), jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    )
+    images = rng.normal(0, 1, (6, SIZE, SIZE, 3)).astype(np.float32)
+
+    e0, n0 = extract_embeddings_tta(model, variables, images, batch_size=4)
+    mesh = make_mesh(jax.devices()[:2])
+    e1, n1 = extract_embeddings_tta(
+        model, variables, images, batch_size=4, mesh=mesh
+    )
+    assert e0.shape == e1.shape == (6, 512)
+    # different XLA programs (sharded vs not): tolerance-level agreement
+    np.testing.assert_allclose(e0, e1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(n0, n1, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="divide"):
+        extract_embeddings_tta(
+            model, variables, images, batch_size=3, mesh=mesh
+        )
