@@ -92,22 +92,41 @@ def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def device_put_global(x, sh: NamedSharding):
+    """device_put that also works when `sh` spans multiple PROCESSES.
+
+    Multi-host rule: every process passes the same GLOBAL value (the
+    data pipeline is seed-deterministic, so each host rebuilds the full
+    batch identically) and contributes only its addressable shards —
+    `jax.device_put` alone rejects shardings with non-addressable
+    devices. Single-process falls through to plain device_put."""
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sh, lambda idx: x[idx]
+        )
+    return jax.device_put(x, sh)
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     """Fully-replicated sharding (parameters, optimizer state)."""
     return NamedSharding(mesh, P())
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
-    """Device-put every array in `batch` sharded on its leading axis."""
+    """Device-put every array in `batch` sharded on its leading axis
+    (multi-process safe: see device_put_global)."""
     sh = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh), batch
+        lambda x: device_put_global(x, sh), batch
     )
 
 
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     sh = replicate(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(
+        lambda x: device_put_global(x, sh), tree
+    )
 
 
 def prefetch_to_device(iterator, mesh: Mesh, depth: int = 2):
@@ -119,10 +138,11 @@ def prefetch_to_device(iterator, mesh: Mesh, depth: int = 2):
     import collections
 
     queue = collections.deque()
+    sh = batch_sharding(mesh)
 
     def put(batch):
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, batch_sharding(mesh)), batch
+            lambda x: device_put_global(x, sh), batch
         )
 
     for batch in iterator:

@@ -285,11 +285,15 @@ def fit(
 
     mesh = mesh or M.make_mesh_for_batch(train_cfg.batch_size)
     steps_per_epoch = max(len(dataset) // train_cfg.batch_size, 1)
-    anchors = jnp.asarray(
+    # Replicated over the mesh explicitly: under multi-host (the mesh
+    # spans processes) a committed process-local array can't mix with
+    # global inputs in one jit call.
+    anchors = M.device_put_global(
         A.generate_anchors(
             model_cfg.anchors,
             (train_cfg.image_size, train_cfg.image_size),
-        )
+        ),
+        M.replicate(mesh),
     )
     step_fn = make_train_step(model_cfg, train_cfg)
     history = LossHistory(log_dir)

@@ -131,6 +131,65 @@ def main():
     )
     print(f"proc{proc_id} sharded_head loss={float(loss):.4f} OK")
 
+    # --- The PRODUCTION fit() loop across processes. Multi-host data
+    # rule (parallel/mesh.py::device_put_global): the input pipeline is
+    # seed-deterministic, so every host rebuilds the identical global
+    # batch and contributes only its devices' shards. Runs 2 epochs
+    # through the freeze->unfreeze phase transition (fresh optimizer on
+    # global params); the resulting params must be bit-identical across
+    # processes (same program, same data, psum-synced grads).
+    import dataclasses
+    import tempfile
+
+    import cv2
+
+    from jabd_tpu import configs
+    from jabd_tpu import train as T
+    from jabd_tpu.data.wider import WiderFaceDataset
+
+    root = tempfile.mkdtemp(prefix=f"mh_fit_p{proc_id}_")
+    tree_rng = np.random.default_rng(7)  # SAME content on every process
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    lines = []
+    for i in range(4):
+        h, w = 96, 112
+        img = np.full((h, w, 3), 30, np.uint8)
+        img += tree_rng.integers(0, 10, (h, w, 3), np.uint8)
+        s, x, y = 32, 10 + 8 * i, 12
+        img[y : y + s, x : x + s] = 200
+        name = f"img_{i}.jpg"
+        cv2.imwrite(os.path.join(root, "images", name), img)
+        lm = " ".join(["-1.0 -1.0 -1.0"] * 5)
+        lines.append(f"# {name}")
+        lines.append(f"{x} {y} {s} {s} {lm} 1.0")
+    with open(os.path.join(root, "label.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    mcfg = dataclasses.replace(
+        configs.get_model_config("retinaface_mnet025"),
+        compute_dtype="float32",
+    )
+    tcfg = configs.TrainConfig(
+        batch_size=2,
+        image_size=64,
+        max_targets=4,
+        total_epochs=2,
+        freeze_epochs=1,
+        save_period=100,
+    )
+    ds = WiderFaceDataset(os.path.join(root, "label.txt"), input_size=64)
+    state = T.fit(
+        mcfg, tcfg, ds, log_dir=os.path.join(root, "logs"), mesh=mesh
+    )
+    fp = float(
+        jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x.astype(jnp.float32))),
+            state.params,
+            jnp.float32(0.0),
+        )
+    )
+    print(f"proc{proc_id} fit step={int(state.step)} fp={fp:.6f} OK")
+
 
 if __name__ == "__main__":
     main()

@@ -44,7 +44,11 @@ def test_two_process_mesh_grad_psum():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            # Generous: the fit() section alone compiles the train step
+            # twice (freeze/unfreeze phases) per process on ONE shared
+            # CPU core (~72 s single-process; contention roughly doubles
+            # it).
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -54,6 +58,19 @@ def test_two_process_mesh_grad_psum():
         assert p.returncode == 0, f"proc{i} failed:\n{out}"
         assert f"proc{i} grad_psum=6.0 OK" in out, out
         assert f"proc{i} sharded_head" in out, out  # tp+dp across procs
+
+    # The production fit() ran to completion on both processes and
+    # produced BIT-IDENTICAL params (same seeded data, psum-synced
+    # grads): compare the printed param fingerprints.
+    import re
+
+    fps = []
+    for i, out in enumerate(outs):
+        m = re.search(rf"proc{i} fit step=(\d+) fp=([0-9.]+) OK", out)
+        assert m, f"proc{i} fit line missing:\n{out}"
+        assert int(m.group(1)) == 4, m.group(0)  # 2 epochs x 2 steps
+        fps.append(m.group(2))
+    assert fps[0] == fps[1], fps
 
 
 def test_single_process_call_is_noop():
