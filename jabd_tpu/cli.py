@@ -334,6 +334,71 @@ def cmd_dir_predict(args):
     pool.shutdown(wait=False)
 
 
+def cmd_identify(args):
+    """Detect -> align -> embed -> match against a named gallery (the
+    two reference halves joined; jabd_tpu/pipeline.py)."""
+    import argparse as _ap
+
+    import cv2
+
+    from jabd_tpu.pipeline import FacePipeline, Gallery, enroll_directory
+    from jabd_tpu.recognition.cli import _load_backbone
+
+    pred = _load_predictor(args)
+    emb_args = _ap.Namespace(
+        arch=args.arch,
+        ckpt=args.ckpt,
+        fold=bool(args.ckpt),  # folded eval graph when real weights exist
+        quantize=args.embed_quantize,
+        quantize_search=False,
+    )
+    model, variables = _load_backbone(emb_args)
+    pipe = FacePipeline(pred, model, variables)
+
+    if args.gallery and os.path.exists(args.gallery):
+        gallery = Gallery.load(args.gallery)
+        print(f"[gallery] loaded {len(gallery.names)} identities",
+              file=sys.stderr)
+    elif args.gallery_dir:
+        gallery = enroll_directory(pipe, args.gallery_dir)
+        print(f"[gallery] enrolled {len(gallery.names)} identities",
+              file=sys.stderr)
+        if args.gallery:
+            gallery.save(args.gallery)
+            print(f"[gallery] saved -> {args.gallery}", file=sys.stderr)
+    else:
+        sys.exit("error: need --gallery-dir or an existing --gallery")
+
+    img = _imread(args.image)
+    dets, embs = pipe.analyze(img)
+    matches = gallery.match(embs, threshold=args.threshold)
+    for d, (name, sim) in zip(dets, matches):
+        print(
+            json.dumps(
+                {
+                    "box": [round(float(v), 1) for v in d[:4]],
+                    "score": round(float(d[4]), 4),
+                    "name": name,
+                    "cosine": round(sim, 4),
+                }
+            )
+        )
+    if args.out:
+        drawn = _draw(img, dets)
+        for d, (name, sim) in zip(dets, matches):
+            cv2.putText(
+                drawn,
+                f"{name or '?'} {sim:.2f}",
+                (int(d[0]), min(int(d[3]) + 14, img.shape[0] - 2)),
+                cv2.FONT_HERSHEY_SIMPLEX,
+                0.45,
+                (0, 255, 255),
+                1,
+            )
+        cv2.imwrite(args.out, drawn)
+        print("wrote", args.out)
+
+
 def cmd_video(args):
     """predict.py:478-520 video mode (EMA fps overlay)."""
     import cv2
@@ -592,6 +657,30 @@ def main(argv=None):
         "analog; batch size must divide the device count)",
     )
     sp.set_defaults(fn=cmd_dir_predict)
+
+    sp = sub.add_parser(
+        "identify",
+        help="detect faces, align on the 5-point landmarks, embed with "
+        "an IR backbone, and name them against a gallery "
+        "(--gallery-dir tree of <name>/*.jpg, or a saved --gallery npz)",
+    )
+    common(sp)
+    sp.add_argument("--image", required=True)
+    sp.add_argument("--gallery-dir", default="")
+    sp.add_argument(
+        "--gallery", default="",
+        help="npz path: loaded if it exists, else written after "
+        "enrolling --gallery-dir",
+    )
+    sp.add_argument("--arch", default="ir_50")
+    sp.add_argument("--ckpt", default="", help="embedder weights "
+                    "(.pth/.ckpt via the IR converter, or orbax dir)")
+    sp.add_argument("--threshold", type=float, default=0.3)
+    sp.add_argument(
+        "--embed-quantize", choices=["none", "int8"], default="none"
+    )
+    sp.add_argument("--out", default="")
+    sp.set_defaults(fn=cmd_identify)
 
     sp = sub.add_parser("video")
     common(sp)
