@@ -227,7 +227,32 @@ def cmd_serve(args):
         batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms,
     )
-    serve(det, host=args.host, port=args.port)
+    identity = None
+    if args.arch:
+        import argparse as _ap
+
+        from jabd_tpu.pipeline import FacePipeline, Gallery
+        from jabd_tpu.recognition.cli import _load_backbone
+        from jabd_tpu.serve import IdentityService
+
+        model, variables = _load_backbone(
+            _ap.Namespace(
+                arch=args.arch, ckpt=args.ckpt, fold=bool(args.ckpt),
+                quantize="none", quantize_search=False,
+            )
+        )
+        gallery = Gallery.load(args.gallery) if args.gallery else None
+        identity = IdentityService(
+            FacePipeline(None, model, variables),
+            gallery=gallery,
+            threshold=args.threshold,
+        )
+        print(
+            f"[identify] {args.arch} embedder"
+            + (f", gallery of {len(gallery.names)}" if gallery else ""),
+            file=sys.stderr,
+        )
+    serve(det, host=args.host, port=args.port, identity=identity)
 
 
 def cmd_predict(args):
@@ -628,6 +653,17 @@ def main(argv=None):
         action="store_true",
         help="shard serving batches over all local devices",
     )
+    sp.add_argument(
+        "--arch", default="",
+        help="IR embedder arch (e.g. ir_50): enables POST /identify "
+        "(detect -> align -> embed -> name)",
+    )
+    sp.add_argument("--ckpt", default="", help="embedder weights")
+    sp.add_argument(
+        "--gallery", default="",
+        help="gallery npz from `cli identify --gallery` for naming",
+    )
+    sp.add_argument("--threshold", type=float, default=0.3)
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser(

@@ -14,6 +14,11 @@ graph — so this module adds the missing production surface:
 - `serve()`: a stdlib ThreadingHTTPServer speaking JSON:
     POST /detect   image bytes (jpg/png/...) -> {"faces": [[x1,y1,x2,y2,
                    score, lmk x 10], ...]}
+    POST /identify (when started with an embedder) -> faces + unit-norm
+                   embeddings + gallery names/cosines; detection rides
+                   the same shared device batches as /detect, then the
+                   aligned crops embed through the pipeline's
+                   fixed-batch jitted IR graph (jabd_tpu/pipeline.py)
     GET  /healthz  {"requests": N, "batches": M, "occupancy": avg}
 
 Every request takes exactly the single-image `detect_image` path
@@ -185,7 +190,49 @@ class BatchingDetector:
 # ---------------------------------------------------------------------------
 
 
-def make_server(detector: BatchingDetector, host="127.0.0.1", port=8712):
+class IdentityService:
+    """Optional /identify extension: align each request's detections and
+    embed them through a FacePipeline's fixed-batch jitted graph; name
+    them when a Gallery is attached. Detection itself stays on the
+    BatchingDetector's shared device batches — only the (much cheaper,
+    112²) embedding runs per-request on the handler thread."""
+
+    def __init__(self, pipeline, gallery=None, threshold: float = 0.3):
+        self.pipeline = pipeline
+        self.gallery = gallery
+        self.threshold = threshold
+
+    def analyze(self, image: np.ndarray, dets: np.ndarray) -> list:
+        from jabd_tpu.recognition.align import align_from_detections
+
+        crops = align_from_detections(
+            image, dets, self.pipeline.crop_size
+        )
+        embs = self.pipeline.embed_crops(crops)
+        matches = (
+            self.gallery.match(embs, threshold=self.threshold)
+            if self.gallery is not None and len(embs)
+            else [(None, -1.0)] * len(embs)
+        )
+        return [
+            {
+                "box": [round(float(v), 3) for v in d[:4]],
+                "score": round(float(d[4]), 4),
+                "landmarks": [round(float(v), 3) for v in d[5:15]],
+                "name": name,
+                "cosine": round(float(sim), 4),
+                "embedding": [round(float(v), 6) for v in e],
+            }
+            for d, e, (name, sim) in zip(dets, embs, matches)
+        ]
+
+
+def make_server(
+    detector: BatchingDetector,
+    host="127.0.0.1",
+    port=8712,
+    identity: Optional[IdentityService] = None,
+):
     """Build (don't start) the ThreadingHTTPServer — separable for tests.
     Concurrent HTTP handler threads feed the one BatchingDetector, which
     is what actually forms device batches."""
@@ -210,7 +257,14 @@ def make_server(detector: BatchingDetector, host="127.0.0.1", port=8712):
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/detect":
+            if self.path == "/identify" and identity is None:
+                self._json(
+                    503,
+                    {"error": "no embedder: start the server with "
+                              "--arch/--ckpt to enable /identify"},
+                )
+                return
+            if self.path not in ("/detect", "/identify"):
                 self._json(404, {"error": "unknown path"})
                 return
             import cv2
@@ -225,6 +279,10 @@ def make_server(detector: BatchingDetector, host="127.0.0.1", port=8712):
                 return
             try:
                 dets = detector.detect(img)
+                if self.path == "/identify":
+                    faces = identity.analyze(img, dets)
+                    self._json(200, {"faces": faces, "count": len(faces)})
+                    return
             except Exception as e:
                 self._json(500, {"error": str(e)})
                 return
@@ -239,11 +297,17 @@ def make_server(detector: BatchingDetector, host="127.0.0.1", port=8712):
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve(detector: BatchingDetector, host="127.0.0.1", port=8712):
-    srv = make_server(detector, host, port)
+def serve(
+    detector: BatchingDetector,
+    host="127.0.0.1",
+    port=8712,
+    identity: Optional[IdentityService] = None,
+):
+    srv = make_server(detector, host, port, identity=identity)
     print(
         f"serving on http://{host}:{srv.server_address[1]} "
-        f"(batch {detector.batch_size}, input {detector.input_shape})"
+        f"(batch {detector.batch_size}, input {detector.input_shape}"
+        f"{', /identify enabled' if identity else ''})"
     )
     try:
         srv.serve_forever()

@@ -154,6 +154,83 @@ def test_mesh_backed_detector(rng):
         BatchingDetector(sharded, batch_size=3)
 
 
+def test_identify_endpoint(detector, rng):
+    """POST /identify: detection rides the shared batches, then crops
+    align+embed through the pipeline and name against the gallery. Uses
+    the deterministic fake embedder (test_pipeline.py) so the expected
+    embeddings/matches are computable exactly."""
+    import cv2
+
+    from jabd_tpu.pipeline import FacePipeline, Gallery
+    from jabd_tpu.serve import IdentityService
+    from tests.test_pipeline import _FakeEmbedder
+
+    gallery = Gallery()
+    gallery.enroll("ann", np.array([1, 0, 0, 0, 0, 0], np.float32))
+    identity = IdentityService(
+        FacePipeline(None, _FakeEmbedder(), {}, embed_batch=2),
+        gallery=gallery,
+        threshold=0.3,
+    )
+    srv = make_server(detector, port=0, identity=identity)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = rng.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+        ok, buf = cv2.imencode(".png", img)  # lossless for exactness
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/identify",
+            data=buf.tobytes(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            payload = json.load(r)
+        assert payload["count"] == len(payload["faces"])
+        dets = detector.detect(img)  # same shared-batch path
+        assert payload["count"] == len(dets)
+        for f, d in zip(payload["faces"], dets):
+            assert set(f) == {
+                "box", "score", "landmarks", "name", "cosine", "embedding",
+            }
+            np.testing.assert_allclose(f["box"], d[:4], atol=2e-3)
+            assert len(f["landmarks"]) == 10
+            emb = np.asarray(f["embedding"], np.float32)
+            np.testing.assert_allclose(
+                np.linalg.norm(emb), 1.0, atol=1e-4
+            )
+            # naming matches the gallery's own verdict on this embedding
+            want_name, want_sim = gallery.match(emb, threshold=0.3)[0]
+            assert f["name"] == want_name
+            assert f["cosine"] == pytest.approx(want_sim, abs=1e-3)
+    finally:
+        srv.shutdown()
+
+
+def test_identify_disabled_returns_503(detector, rng):
+    import cv2
+
+    srv = make_server(detector, port=0)  # no identity service
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        ok, buf = cv2.imencode(".jpg", img)
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/identify",
+            data=buf.tobytes(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 503
+    finally:
+        srv.shutdown()
+
+
 def test_http_endpoint(detector, rng):
     import cv2
 
