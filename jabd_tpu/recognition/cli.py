@@ -133,14 +133,10 @@ def cmd_export(args):
 
 def cmd_train(args):
     import jax
-    import numpy as np
 
     from jabd_tpu.recognition import build_head, build_model
     from jabd_tpu.recognition import train as RT
-    from jabd_tpu.recognition.data import (
-        ImageFolderDataset,
-        recognition_train_loader,
-    )
+    from jabd_tpu.recognition.data import ImageFolderDataset
 
     ds = ImageFolderDataset(args.data_root)
     model = build_model(args.arch)
@@ -164,13 +160,6 @@ def cmd_train(args):
             m * steps_per_epoch for m in args.milestones
         ),
     )
-    import jax.numpy as jnp
-
-    if args.device_augment:
-        from jabd_tpu.recognition.device_augment import (
-            device_face_train_loader,
-        )
-
     if getattr(args, "shard_head", False):
         # PartialFC-style class-sharded head over all local chips
         # (recognition/parallel.py): batch rides the data axis, the
@@ -195,50 +184,21 @@ def cmd_train(args):
     else:
         step = RT.make_train_step(model, head)
 
-    rng = jax.random.PRNGKey(args.seed + 1)
-    for epoch in range(args.epochs):
-        # Device-array losses; bulk sync at epoch end, plus a lagged
-        # per-step scalar fetch that bounds dispatch run-ahead —
-        # unbounded async queuing collapses remote-attached throughput
-        # (measured ~7x; see train.py fit loop / diag_sync_loop.py).
-        losses, accs = [], []
-        synced = 0
-        if args.device_augment:
-            batches = device_face_train_loader(
-                ds, args.batch_size, seed=args.seed + epoch
-            )
-        else:
-            batches = recognition_train_loader(
-                ds, args.batch_size, seed=args.seed + epoch
-            )
-        for batch in batches:
-            rng, sub = jax.random.split(rng)
-            if args.device_augment:
-                images_u8, plan, labels = batch
-                state, m = step(state, images_u8, plan, labels, sub)
-            else:
-                images, labels = batch
-                state, m = step(state, images, labels, sub)
-            losses.append(m["loss"])
-            accs.append(m["acc"])
-            if len(losses) - synced > 3:
-                float(losses[synced])
-                synced += 1
-        print(
-            f"epoch {epoch + 1}/{args.epochs}: "
-            f"loss={float(jnp.mean(jnp.stack(losses))):.4f} "
-            f"acc={float(jnp.mean(jnp.stack(accs))):.4f}"
-        )
-        if args.val_dir:
-            out = RT.validate_5sets(
-                model,
-                {
-                    "params": state.params["model"],
-                    "batch_stats": state.batch_stats["model"],
-                },
-                args.val_dir,
-            )
-            print(json.dumps({k: v for k, v in out.items()}))
+    RT.fit(
+        model,
+        head,
+        state,
+        step,
+        ds,
+        args.batch_size,
+        args.epochs,
+        device_augment=args.device_augment,
+        seed=args.seed,
+        val_dir=args.val_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        save_period=args.save_period,
+        resume=not args.no_resume,
+    )
 
 
 def cmd_verify(args):
@@ -383,6 +343,19 @@ def main(argv=None):
                     default=[12, 20, 24])
     sp.add_argument("--val-dir", default="")
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument(
+        "--checkpoint-dir", default="",
+        help="Orbax epoch checkpoints (params + batch-stats + optimizer "
+        "state) with auto-resume from the latest; a best-on-val_acc copy "
+        "lands under <dir>/best and per-epoch metrics in "
+        "<dir>/metrics.csv (the Lightning ModelCheckpoint + CSVLogger "
+        "surface, main.py:26-33)",
+    )
+    sp.add_argument("--save-period", type=int, default=1)
+    sp.add_argument(
+        "--no-resume", action="store_true",
+        help="start fresh even if --checkpoint-dir has checkpoints",
+    )
     sp.add_argument(
         "--device-augment",
         action="store_true",

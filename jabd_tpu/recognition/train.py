@@ -169,6 +169,126 @@ def make_train_step_aug(model: N.IRBackbone, head):
     return step
 
 
+def fit(
+    model: N.IRBackbone,
+    head,
+    state: RecTrainState,
+    step_fn,
+    ds,
+    batch_size: int,
+    epochs: int,
+    *,
+    device_augment: bool = False,
+    seed: int = 0,
+    val_dir: str = "",
+    checkpoint_dir: str = "",
+    save_period: int = 1,
+    max_to_keep: int = 3,
+    resume: bool = True,
+    log=print,
+) -> RecTrainState:
+    """The Lightning-Trainer analog for the recognition recipe.
+
+    What main.py:15-62 assembles around training_step, rebuilt on the
+    TPU stack:
+      * epoch loop with bounded dispatch run-ahead (unbounded async
+        queuing collapses remote-attached throughput ~7x — see
+        jabd_tpu/train.py MAX_IN_FLIGHT);
+      * per-epoch 5-set flip-TTA validation (train_val.py:106-136);
+      * Orbax epoch checkpoints incl. optimizer state with AUTO-RESUME
+        from the latest (`resume_from_checkpoint` + `save_last`,
+        main.py:35,78-80 — but unlike Lightning we restore the
+        optimizer moments too);
+      * a best-on-val_acc copy under `<checkpoint_dir>/best`
+        (ModelCheckpoint(monitor='val_acc', mode='max', save_top_k),
+        main.py:26-30);
+      * `metrics.csv` with per-epoch train loss/acc and val_acc — the
+        CSVLogger artifact (main.py:33, train_val.py:69-70,132-134).
+    """
+    import json as _json
+    import os
+
+    from jabd_tpu.utils.checkpoint import CheckpointManager
+
+    if device_augment:
+        from jabd_tpu.recognition.device_augment import (
+            device_face_train_loader as loader,
+        )
+    else:
+        from jabd_tpu.recognition.data import (
+            recognition_train_loader as loader,
+        )
+
+    mgr = best_mgr = None
+    best_meta_path = metrics_path = None
+    best_acc = -1.0
+    start_epoch = 0
+    if checkpoint_dir:
+        mgr = CheckpointManager(checkpoint_dir, max_to_keep=max_to_keep)
+        best_mgr = CheckpointManager(
+            os.path.join(checkpoint_dir, "best"), max_to_keep=1
+        )
+        best_meta_path = os.path.join(checkpoint_dir, "best_meta.json")
+        metrics_path = os.path.join(checkpoint_dir, "metrics.csv")
+        if os.path.exists(best_meta_path):
+            with open(best_meta_path) as f:
+                best_acc = float(_json.load(f).get("val_acc", -1.0))
+        if resume and mgr.latest_step() is not None:
+            state = mgr.restore(state)
+            start_epoch = int(mgr.latest_step())
+            log(f"resumed from checkpoint at epoch {start_epoch}")
+        if metrics_path and not os.path.exists(metrics_path):
+            with open(metrics_path, "w") as f:
+                f.write("epoch,step,loss,acc,val_acc\n")
+
+    rng = jax.random.PRNGKey(seed + 1)
+    for epoch in range(start_epoch + 1, epochs + 1):
+        # Device-array losses; bulk sync at epoch end, plus a lagged
+        # per-step scalar fetch that bounds dispatch run-ahead.
+        losses, accs = [], []
+        synced = 0
+        for batch in loader(ds, batch_size, seed=seed + epoch):
+            rng, sub = jax.random.split(rng)
+            state, m = step_fn(state, *batch, sub)
+            losses.append(m["loss"])
+            accs.append(m["acc"])
+            if len(losses) - synced > 3:
+                float(losses[synced])
+                synced += 1
+        loss = float(jnp.mean(jnp.stack(losses)))
+        acc = float(jnp.mean(jnp.stack(accs)))
+        log(f"epoch {epoch}/{epochs}: loss={loss:.4f} acc={acc:.4f}")
+
+        val_acc = None
+        if val_dir:
+            out = validate_5sets(
+                model,
+                {
+                    "params": state.params["model"],
+                    "batch_stats": state.batch_stats["model"],
+                },
+                val_dir,
+            )
+            val_acc = out["mean"]["val_acc"]
+            log(_json.dumps(out))
+
+        if metrics_path:
+            with open(metrics_path, "a") as f:
+                f.write(
+                    f"{epoch},{int(state.step)},{loss:.6f},{acc:.6f},"
+                    f"{'' if val_acc is None else f'{val_acc:.6f}'}\n"
+                )
+        if mgr and (epoch % save_period == 0 or epoch == epochs):
+            mgr.save(epoch, state)
+        if best_mgr and val_acc is not None and val_acc > best_acc:
+            best_acc = val_acc
+            best_mgr.save(epoch, state)
+            with open(best_meta_path, "w") as f:
+                _json.dump({"epoch": epoch, "val_acc": val_acc}, f)
+            log(f"new best val_acc {val_acc:.4f} at epoch {epoch}")
+    return state
+
+
 def extract_embeddings_tta(
     model: N.IRBackbone,
     variables,

@@ -272,6 +272,83 @@ def test_validate_5sets_partial_bundle(ir18, rng, tmp_path):
     assert 0.0 <= out["mean"]["val_acc"] <= 1.0
 
 
+def test_fit_checkpoints_resume_best_metrics(tmp_path, rng):
+    """The Lightning-Trainer surface (RT.fit): epoch Orbax checkpoints,
+    mid-recipe auto-resume restoring step + optimizer state, a
+    best-on-val_acc copy, and the metrics.csv artifact
+    (main.py:26-35's ModelCheckpoint/resume/CSVLogger analogs)."""
+    import os
+
+    from PIL import Image
+
+    from jabd_tpu.recognition.data import ImageFolderDataset
+
+    for cls in ("a", "b"):
+        d = tmp_path / "data" / cls
+        d.mkdir(parents=True)
+        for i in range(4):
+            arr = rng.integers(0, 255, (112, 112, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.jpg")
+    ds = ImageFolderDataset(str(tmp_path / "data"))
+    model = build_model("ir_18")
+    head = build_head("adaface", class_num=ds.num_classes)
+    ckdir = str(tmp_path / "ck")
+
+    def fresh_state():
+        return RT.create_state(
+            jax.random.PRNGKey(0), model, head, num_train_steps_hint=6,
+            lr=0.01,
+        )
+
+    step = RT.make_train_step(model, head)
+    logs1 = []
+    # Fake validation monitor: patch validate_5sets to an epoch-indexed
+    # score so the best-copy logic is testable without real val sets
+    # (first epoch best, second worse).
+    scores = iter([0.9, 0.5, 0.7])
+    real_validate = RT.validate_5sets
+    RT.validate_5sets = lambda *a, **k: {
+        "mean": {"val_acc": next(scores)}
+    }
+    try:
+        state = RT.fit(
+            model, head, fresh_state(), step, ds, batch_size=4, epochs=2,
+            seed=0, val_dir="fake", checkpoint_dir=ckdir,
+            log=logs1.append,
+        )
+    finally:
+        RT.validate_5sets = real_validate
+    assert int(state.step) == 4  # 2 epochs x 2 steps
+    assert os.path.exists(os.path.join(ckdir, "metrics.csv"))
+    rows = open(os.path.join(ckdir, "metrics.csv")).read().splitlines()
+    assert rows[0] == "epoch,step,loss,acc,val_acc"
+    assert len(rows) == 3 and rows[1].startswith("1,2,")
+    # best copy is epoch 1 (0.9 > 0.5)
+    import json
+
+    meta = json.load(open(os.path.join(ckdir, "best_meta.json")))
+    assert meta == {"epoch": 1, "val_acc": 0.9}
+
+    # resume: a FRESH fit() with a 3-epoch budget must restore epoch 2
+    # (step AND params) and run only epoch 3.
+    logs2 = []
+    state2 = RT.fit(
+        model, head, fresh_state(), step, ds, batch_size=4, epochs=3,
+        seed=0, checkpoint_dir=ckdir, log=logs2.append,
+    )
+    assert any("resumed from checkpoint at epoch 2" in m for m in logs2)
+    assert sum("epoch" in m and "loss=" in m for m in logs2) == 1
+    assert int(state2.step) == 6
+    # no-resume flag starts over
+    logs3 = []
+    RT.fit(
+        model, head, fresh_state(), step, ds, batch_size=4, epochs=1,
+        seed=0, checkpoint_dir=str(tmp_path / "ck2"), resume=False,
+        log=logs3.append,
+    )
+    assert not any("resumed" in m for m in logs3)
+
+
 def test_recognition_cli_train_smoke(tmp_path, rng, capsys):
     """End-to-end recognition training CLI over a tiny image-folder tree."""
     from PIL import Image
