@@ -101,17 +101,24 @@ class AdaFaceHead(nn.Module):
             labels, cosine.shape[-1], dtype=cosine.dtype
         )
 
-        # g_angular: theta_target + (-m * scaler)
-        m_arc = -self.m * margin_scaler[:, None] * onehot
-        theta = jnp.arccos(cosine)
+        # Target-column-only margin. The textbook formulation runs
+        # arccos/cos over the whole [B, C] matrix, but off the target
+        # column it is the identity (cos(arccos x) = x; gradient
+        # sin(theta)/sqrt(1-x^2) = 1, and the eps-clip is inactive for
+        # |x| <= 1-eps since arccos(1-eps) > eps) — at C = 70k classes
+        # that is O(B*C) wasted VPU transcendentals in BOTH passes
+        # (arccos' backward is a rsqrt over the full matrix). Compute
+        # the margined logit for the target entry alone, O(B):
+        #   g_angular:  theta_target + (-m * scaler)
+        #   g_additive: subtract m * (scaler + 1) from the target logit
+        tgt = jnp.sum(cosine * onehot, axis=-1, keepdims=True)  # [B, 1]
+        m_arc = -self.m * margin_scaler[:, None]
         theta_m = jnp.clip(
-            theta + m_arc, self.eps, jnp.pi - self.eps
+            jnp.arccos(tgt) + m_arc, self.eps, jnp.pi - self.eps
         )
-        cosine = jnp.cos(theta_m)
-
-        # g_additive: subtract m * (scaler + 1) from the target logit.
-        m_cos = (self.m * margin_scaler[:, None] + self.m) * onehot
-        cosine = cosine - m_cos
+        m_cos = self.m * margin_scaler[:, None] + self.m
+        tgt_new = jnp.cos(theta_m) - m_cos
+        cosine = cosine + (tgt_new - tgt) * onehot
         return _mask_padded(cosine * self.s, self.classnum)
 
 
@@ -133,11 +140,15 @@ class ArcFaceHead(nn.Module):
         onehot = jax.nn.one_hot(
             labels, cosine.shape[-1], dtype=cosine.dtype
         )
-        theta = jnp.arccos(cosine)
+        # Target-column-only arc margin (see AdaFaceHead: the full-matrix
+        # arccos/cos is the identity off the target column; O(B) instead
+        # of O(B*C) transcendentals in forward AND backward).
+        tgt = jnp.sum(cosine * onehot, axis=-1, keepdims=True)
         theta_m = jnp.clip(
-            theta + self.m * onehot, self.eps, jnp.pi - self.eps
+            jnp.arccos(tgt) + self.m, self.eps, jnp.pi - self.eps
         )
-        return _mask_padded(jnp.cos(theta_m) * self.s, self.classnum)
+        cosine = cosine + (jnp.cos(theta_m) - tgt) * onehot
+        return _mask_padded(cosine * self.s, self.classnum)
 
 
 class CosFaceHead(nn.Module):

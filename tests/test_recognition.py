@@ -91,6 +91,54 @@ def test_head_shapes_and_margin_direction(head_type):
     )
 
 
+@pytest.mark.parametrize("head_type", ["adaface", "arcface"])
+def test_head_matches_full_matrix_oracle(head_type):
+    """The target-column-only margin (heads.py) must equal the textbook
+    full-matrix formulation — arccos/cos over the whole [B, C] logits —
+    in values AND input gradients. The full-matrix form is the oracle
+    here; the production code computes only the target entry (O(B)
+    instead of O(B*C) transcendentals)."""
+    head, variables, emb, norms, labels = _head_setup(head_type)
+    # build_head passes its m=0.4 default to every head type.
+    m, s, eps, h = 0.4, 64.0, 1e-3, 0.333
+
+    def oracle(emb_j):
+        kernel = variables["params"]["kernel"]
+        kernel = kernel / jnp.linalg.norm(kernel, axis=0, keepdims=True)
+        cosine = jnp.clip(emb_j @ kernel, -1 + eps, 1 - eps)
+        onehot = jax.nn.one_hot(jnp.asarray(labels), 16, dtype=cosine.dtype)
+        if head_type == "adaface":
+            scaler = (jnp.asarray(norms)[:, 0] - 20.0) / (100.0 + eps)
+            scaler = jnp.clip(scaler * h, -1.0, 1.0)
+            m_arc = -m * scaler[:, None] * onehot
+            m_cos = (m * scaler[:, None] + m) * onehot
+        else:
+            m_arc, m_cos = m * onehot, 0.0
+        theta_m = jnp.clip(
+            jnp.arccos(cosine) + m_arc, eps, jnp.pi - eps
+        )
+        return (jnp.cos(theta_m) - m_cos) * s
+
+    def ours(emb_j):
+        return head.apply(
+            variables, emb_j, jnp.asarray(norms), jnp.asarray(labels),
+            train=False,
+        )
+
+    x = jnp.asarray(emb)
+    np.testing.assert_allclose(
+        np.asarray(ours(x)), np.asarray(oracle(x)), rtol=2e-5, atol=2e-4
+    )
+    cot = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (8, 16)).astype(np.float32)
+    )
+    g_ours = jax.grad(lambda e: jnp.sum(ours(e) * cot))(x)
+    g_oracle = jax.grad(lambda e: jnp.sum(oracle(e) * cot))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_ours), np.asarray(g_oracle), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_adaface_norm_adaptivity():
     """Higher-norm (high-quality) samples get a larger angular margin."""
     head = build_head("adaface", class_num=4)
