@@ -309,9 +309,10 @@ def test_ssh_parity(rng):
 
     from jabd_tpu import configs
     from jabd_tpu.models.layers import SSH
-    from jabd_tpu.utils.torch_convert import _convbn
+    from jabd_tpu.utils.torch_convert import _Map
 
     params, stats = {}, {}
+    m = _Map(sd, params, stats)
     for tname, fname in [
         ("conv3X3", "conv3x3"),
         ("conv5X5_1", "conv5x5_1"),
@@ -319,8 +320,7 @@ def test_ssh_parity(rng):
         ("conv7X7_2", "conv7x7_2"),
         ("conv7x7_3", "conv7x7_3"),
     ]:
-        _convbn(params, stats, sd, f"ssh1.{tname}.0", f"ssh1.{tname}.1",
-                ("ssh1", fname))
+        m.convbn(f"ssh1.{tname}.0", f"ssh1.{tname}.1", ("ssh1", fname))
 
     ssh = SSH(out_channels=64)
     x = rng.normal(0, 1, (1, 8, 8, 64)).astype(np.float32)
