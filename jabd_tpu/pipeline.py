@@ -25,7 +25,6 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from jabd_tpu.recognition.align import align_from_detections
-from jabd_tpu.recognition.data import normalize_face
 
 
 class FacePipeline:
@@ -67,18 +66,52 @@ class FacePipeline:
         n = len(crops)
         if n == 0:
             return np.zeros((0, self.model.embedding_size), np.float32)
-        x = normalize_face(crops[:, :, :, ::-1])  # BGR -> RGB, [-1,1]
+        # BGR -> RGB + the 0.5/0.5 normalize, fused with contiguous
+        # per-channel writes: normalize_face on the ::-1 channel view
+        # walks a stride-(-1) inner loop of length 3 — measured 86x
+        # slower (3.8 s vs 44 ms on 357 crops; it was the /identify
+        # latency floor, not the TPU).
+        x = np.empty(crops.shape, np.float32)
+        x[..., 0] = crops[..., 2]
+        x[..., 1] = crops[..., 1]
+        x[..., 2] = crops[..., 0]
+        # same op sequence as normalize_face -> bit-identical values
+        x /= 255.0
+        x -= 0.5
+        x /= 0.5
         out = np.zeros((n, self.model.embedding_size), np.float32)
         b = self.embed_batch
+        # Pipeline the chunks: dispatch ahead, fetch lagged — a blocking
+        # per-chunk fetch serializes one transfer round trip per chunk
+        # (23 chunks cost ~2.9 s through the remote tunnel; overlapped
+        # they ride one pipe). In-flight depth is capped like the train
+        # loop's MAX_IN_FLIGHT (unbounded run-ahead collapses
+        # remote-attached throughput).
+        pending = []  # (lo, emb_device)
+
+        def drain(keep: int):
+            while len(pending) > keep:
+                lo, emb = pending.pop(0)
+                out[lo : lo + b] = np.asarray(emb)[: n - lo]
+
+        # ONE host->device transfer for all crops (pad the count to a
+        # multiple of the static batch), then per-chunk DEVICE-side
+        # slices feed the fixed-shape jitted graph — per-chunk host
+        # puts cost ~200 ms each through a remote-attached tunnel
+        # (23 chunks measured 4.7 s; the bytes themselves are ~1 s).
+        # The eager slice keeps _embed at its compiled [b, ...] shape,
+        # so crop counts never trigger recompiles.
+        n_pad = -(-n // b) * b
+        if n_pad > n:
+            x = np.concatenate(
+                [x, np.zeros((n_pad - n, *x.shape[1:]), x.dtype)]
+            )
+        x_dev = jnp.asarray(x)
         for lo in range(0, n, b):
-            chunk = x[lo : lo + b]
-            if len(chunk) < b:  # pad the tail to the static batch
-                chunk = np.concatenate(
-                    [chunk, np.zeros((b - len(chunk), *chunk.shape[1:]),
-                                     chunk.dtype)]
-                )
-            emb, _ = self._embed(self.variables, jnp.asarray(chunk))
-            out[lo : lo + b] = np.asarray(emb)[: n - lo]
+            emb, _ = self._embed(self.variables, x_dev[lo : lo + b])
+            pending.append((lo, emb))
+            drain(keep=4)
+        drain(keep=0)
         return out
 
     def analyze(

@@ -221,7 +221,7 @@ class IdentityService:
                 "landmarks": [round(float(v), 3) for v in d[5:15]],
                 "name": name,
                 "cosine": round(float(sim), 4),
-                "embedding": [round(float(v), 6) for v in e],
+                "embedding": np.round(e.astype(np.float64), 6).tolist(),
             }
             for d, e, (name, sim) in zip(dets, embs, matches)
         ]
