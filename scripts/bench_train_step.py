@@ -7,8 +7,10 @@ utils/profiling.chained_benchmark). Sweeps batch size x remat to find
 the best img/s/chip (VERDICT round-1 item: train-mode BN makes the
 forward ~2x eval; the available levers are batch scaling + remat).
 
-Usage: python scripts/bench_train_step.py [bs,remat[,microbatches] ...]
+Usage: python scripts/bench_train_step.py [--model PRESET] [--size N]
+           [bs,remat[,microbatches] ...]
   e.g. python scripts/bench_train_step.py 96,0 128,0 128,1 160,0,2
+       python scripts/bench_train_step.py --model re50_eca_nonlocal 16,0 32,1
 (microbatches > 1 = ghost-BN grad accumulation inside one step — the
 round-3 workaround for the compile-service HTTP 500 at bs=160 one-shot.)
 """
@@ -34,8 +36,9 @@ def bench_config(
     microbatches: int = 1,
     size: int = 840,
     iters: int = 5,
+    model: str = "jabd_flagship",
 ):
-    mcfg = configs.get_model_config("jabd_flagship")
+    mcfg = configs.get_model_config(model)
     tcfg = configs.TrainConfig(
         batch_size=batch, image_size=size, remat=remat,
         microbatches=microbatches,
@@ -87,6 +90,7 @@ def bench_config(
     dt = time.perf_counter() - t0
     per = dt / iters
     return {
+        "model": model,
         "batch": batch,
         "remat": remat,
         "microbatches": microbatches,
@@ -96,16 +100,29 @@ def bench_config(
 
 
 def main():
-    combos = [arg.split(",") for arg in sys.argv[1:]] or [
+    args = sys.argv[1:]
+    model, size = "jabd_flagship", 840
+    while args and args[0].startswith("--"):
+        flag = args.pop(0)
+        if flag == "--model":
+            model = args.pop(0)
+        elif flag == "--size":
+            size = int(args.pop(0))
+        else:
+            raise SystemExit(f"unknown flag {flag}")
+    combos = [arg.split(",") for arg in args] or [
         ("96", "0"), ("128", "0"), ("128", "1"), ("192", "1"),
     ]
     for combo in combos:
         bs, rm = combo[0], combo[1]
         mb = int(combo[2]) if len(combo) > 2 else 1
         try:
-            out = bench_config(int(bs), bool(int(rm)), mb)
+            out = bench_config(
+                int(bs), bool(int(rm)), mb, size=size, model=model
+            )
         except Exception as e:  # OOM etc. — report and keep sweeping
-            out = {"batch": int(bs), "remat": bool(int(rm)),
+            out = {"model": model, "batch": int(bs),
+                   "remat": bool(int(rm)),
                    "microbatches": mb, "error": str(e)[:120]}
         print(json.dumps(out), flush=True)
 
