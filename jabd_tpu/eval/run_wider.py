@@ -45,9 +45,12 @@ def run_wider_val(
     (the evaluator's in-memory format); optionally writes txt dumps.
 
     multiscale=True runs the bicubic image-pyramid variant (BASELINE
-    config #5) through Predictor.detect_multiscale per image (slower,
-    host-driven); the default path is the fully batched single-scale
-    sweep.
+    config #5) BATCHED: each chunk makes one fused device dispatch per
+    scale (len(scales) dispatches per batch instead of the per-image
+    host loop Predictor.detect_multiscale runs), then merges the scales
+    per image and re-runs NMS on the union — identical detections to
+    the per-image path (same resize/letterbox/NMS sequence), tested in
+    tests/test_e2e_wider.py.
     """
     import cv2
 
@@ -76,12 +79,89 @@ def run_wider_val(
         return rows[np.argsort(-rows[:, 4], kind="stable")]
 
     if multiscale:
-        for event, name in items:
+        from jabd_tpu.ops.nms import nms_numpy
+        from jabd_tpu.predict import undo_letterbox_pixels
+
+        letterbox = predictor.pcfg.letterbox
+        pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+
+        def load_ms(item):
+            # Pre-scale with the exact detect_multiscale recipe (float32
+            # bicubic, predict.py:403-424 semantics), then letterbox each
+            # scale to the shared static input — every scale rides the
+            # SAME compiled graph.
+            event, name = item
             img = cv2.imread(os.path.join(val_dir, event, name))
-            dets = predictor.detect_multiscale(img, scales=scales)
-            preds.setdefault(event, {})[os.path.splitext(name)[0]] = (
-                to_rows(dets)
-            )
+            ih, iw = img.shape[:2]
+            per_scale = []
+            for s in scales:
+                sw = max(int(iw * s), 32)
+                sh = max(int(ih * s), 32)
+                scaled = cv2.resize(
+                    img.astype(np.float32),
+                    (sw, sh),
+                    interpolation=cv2.INTER_CUBIC,
+                )
+                if letterbox:
+                    x = I.letterbox_np(scaled, (tw, th))
+                else:
+                    x = cv2.resize(scaled, (tw, th)).astype(np.float32)
+                per_scale.append(
+                    (I.preprocess_input_np(x), (sh, sw))
+                )
+            return event, name, (ih, iw), per_scale
+
+        try:
+            for lo in range(0, len(items), batch_size):
+                chunk = items[lo : lo + batch_size]
+                loaded = list(pool.map(load_ms, chunk))
+                merged: List[List[np.ndarray]] = [[] for _ in loaded]
+                for si in range(len(scales)):
+                    batch = np.stack(
+                        [ps[si][0] for _, _, _, ps in loaded]
+                    )
+                    if len(batch) < batch_size:
+                        pad = batch_size - len(batch)
+                        batch = np.concatenate(
+                            [
+                                batch,
+                                np.zeros(
+                                    (pad, *batch.shape[1:]), batch.dtype
+                                ),
+                            ]
+                        )
+                    dets_b, valid_b = predictor.detect_preprocessed(batch)
+                    dets_b = np.asarray(dets_b)
+                    valid_b = np.asarray(valid_b)
+                    for i, (_, _, (ih, iw), ps) in enumerate(loaded):
+                        d = dets_b[i][valid_b[i]].copy()
+                        if not len(d):
+                            continue
+                        sh, sw = ps[si][1]
+                        d = undo_letterbox_pixels(
+                            d, (th, tw), (sh, sw), letterbox
+                        )
+                        d[:, [0, 2]] *= iw / sw
+                        d[:, [1, 3]] *= ih / sh
+                        d[:, 5::2] *= iw / sw
+                        d[:, 6::2] *= ih / sh
+                        merged[i].append(d)
+                for i, (event, name, _, _) in enumerate(loaded):
+                    if merged[i]:
+                        m = np.concatenate(merged[i], 0)
+                        keep = nms_numpy(
+                            m[:, :4],
+                            m[:, 4],
+                            iou_threshold=predictor.pcfg.nms_iou,
+                        )[: predictor.pcfg.max_detections]
+                        dets = m[keep]
+                    else:
+                        dets = np.zeros((0, 15), np.float32)
+                    preds.setdefault(event, {})[
+                        os.path.splitext(name)[0]
+                    ] = to_rows(dets)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
     else:
         pool = cf.ThreadPoolExecutor(max_workers=num_workers)
 
