@@ -38,12 +38,17 @@ def enable(cache_dir: str | None = None, allow_cpu: bool = False) -> str:
     """Idempotently enable the persistent compilation cache.
 
     On the CPU backend the cache stores host-specialized AOT machine
-    code; even with the cpuinfo keying, XLA's loader flags artifacts
-    whose compile-time tuning features (e.g. prefer-no-scatter) aren't
-    in its detected host set, and a genuine cross-host load can SIGILL.
-    CPU compiles are also fast. So the cache is a no-op on CPU unless
-    the caller opts in (the test conftest does — single-host, and the
-    ~35-min suite recompiles many medium graphs otherwise)."""
+    code; a genuine cross-host load can SIGILL, hence the cpuinfo
+    keying. Note the `cpu_aot_loader.cc` "machine feature mismatch"
+    ERROR lines are NOT evidence of a foreign artifact: XLA stamps
+    tuning preferences (+prefer-no-gather/+prefer-no-scatter) into the
+    compile-time feature list but never into its host detection, so the
+    loader prints them on EVERY cache hit — verified by storing and
+    reloading on the same machine seconds apart (6 such lines, correct
+    execution). CPU compiles are also fast. So the cache is a no-op on
+    CPU unless the caller opts in (the test conftest does —
+    single-host, and the ~35-min suite recompiles many medium graphs
+    otherwise)."""
     import jax
 
     if jax.default_backend() == "cpu" and not allow_cpu:
