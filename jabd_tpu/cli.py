@@ -505,8 +505,11 @@ def cmd_map_txt(args):
 
     --batch-size > 1 streams the whole tree through the fused batched
     device program (eval/run_wider.py, BASELINE config #2); --multiscale
-    runs the bicubic image-pyramid sweep (BASELINE config #5). Both dump
-    byte-identical txt to the single-image path.
+    runs the bicubic image-pyramid sweep (BASELINE config #5), with
+    --pyramid device (default: on-device composed-plan pre-scale, exact
+    to ~1e-4 grey levels) or --pyramid host (byte-exact two-stage cv2
+    recipe). Single-scale batched dumps are byte-identical to the
+    single-image path.
     """
     import cv2
 
@@ -520,6 +523,7 @@ def cmd_map_txt(args):
             batch_size=args.batch_size,
             out_dir=args.out,
             multiscale=args.multiscale,
+            pyramid=args.pyramid,
         )
         return
     for event in sorted(os.listdir(args.val_dir)):
@@ -762,6 +766,13 @@ def main(argv=None):
         "--multiscale",
         action="store_true",
         help="bicubic image-pyramid eval (BASELINE config #5)",
+    )
+    sp.add_argument(
+        "--pyramid",
+        choices=("device", "host"),
+        default="device",
+        help="multiscale pre-scale: on-device composed plans (default) "
+        "or the byte-exact host cv2 recipe",
     )
     sp.set_defaults(fn=cmd_map_txt)
 

@@ -19,6 +19,25 @@ import numpy as np
 
 from jabd_tpu.ops import image as I
 
+# Sources past this are cv2-bilinear pre-shrunk before planning (same cap
+# and rationale as Predictor.detect_images: detail past the letterbox
+# target is lost anyway; pixel-only effect).
+_SRC_CAP = 2048
+
+
+def _scan_bucket(val_dir: str, items) -> Tuple[int, int]:
+    """One global source bucket for the whole sweep (PIL header read, no
+    decode) so the device-pyramid graph compiles ONCE."""
+    from PIL import Image
+
+    bh = bw = 1
+    for event, name in items:
+        with Image.open(os.path.join(val_dir, event, name)) as im:
+            w, h = im.size
+        bh = max(bh, min(h, _SRC_CAP))
+        bw = max(bw, min(w, _SRC_CAP))
+    return -(-bh // 128) * 128, -(-bw // 128) * 128
+
 
 def _list_val_images(val_dir: str) -> List[Tuple[str, str]]:
     out = []
@@ -40,17 +59,27 @@ def run_wider_val(
     num_workers: int = 8,
     multiscale: bool = False,
     scales=(0.75, 1.0, 1.25),
+    pyramid: str = "device",
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Sweep a WIDER val tree. Returns {event: {stem: [N,5] xywh+score}}
     (the evaluator's in-memory format); optionally writes txt dumps.
 
     multiscale=True runs the bicubic image-pyramid variant (BASELINE
     config #5) BATCHED: each chunk makes one fused device dispatch per
-    scale (len(scales) dispatches per batch instead of the per-image
-    host loop Predictor.detect_multiscale runs), then merges the scales
-    per image and re-runs NMS on the union — identical detections to
-    the per-image path (same resize/letterbox/NMS sequence), tested in
-    tests/test_e2e_wider.py.
+    scale, then merges the scales per image and re-runs NMS on the
+    union. pyramid selects where the per-scale pre-scale+letterbox
+    pixels are computed:
+
+    * "device" (default): ONE uint8 source upload per image; each scale
+      is a composed taps-form resample plan (ops/image.py::plan_pyramid)
+      expanded and applied on the MXU — no host pre-scale (was 75
+      ms/img, BENCH_NOTES round 3) and ~5-8x fewer H2D bytes. Exact up
+      to f32 association with the host recipe (<=1e-4 grey levels,
+      tested vs the per-image path in tests/test_e2e_wider.py).
+    * "host": the byte-exact two-stage cv2 recipe of
+      Predictor.detect_multiscale (float32 INTER_CUBIC pre-scale,
+      predict.py:403-424, then letterbox), identical detections to the
+      per-image path.
     """
     import cv2
 
@@ -78,7 +107,91 @@ def run_wider_val(
         )
         return rows[np.argsort(-rows[:, 4], kind="stable")]
 
-    if multiscale:
+    if multiscale and pyramid == "device":
+        import jax
+        import jax.numpy as jnp
+
+        from jabd_tpu.ops.nms import nms_numpy
+        from jabd_tpu.predict import undo_letterbox_pixels
+
+        letterbox = predictor.pcfg.letterbox
+        bh, bw = _scan_bucket(val_dir, items)
+        pyr_jit = jax.jit(I.pyramid_batch_device)
+        pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+
+        def load_plan(item):
+            event, name = item
+            img = cv2.imread(os.path.join(val_dir, event, name))
+            oh, ow = img.shape[:2]
+            if oh > _SRC_CAP or ow > _SRC_CAP:
+                r = min(_SRC_CAP / oh, _SRC_CAP / ow)
+                img = cv2.resize(
+                    img, (max(int(ow * r), 1), max(int(oh * r), 1))
+                )
+            plans = [
+                I.plan_pyramid(img.shape[:2], s, (th, tw), letterbox)
+                for s in scales
+            ]
+            return event, name, (oh, ow), I.pad_to_bucket(img, (bh, bw)), plans
+
+        try:
+            for lo in range(0, len(items), batch_size):
+                chunk = items[lo : lo + batch_size]
+                loaded = list(pool.map(load_plan, chunk))
+                n = len(loaded)
+                src = np.zeros((batch_size, bh, bw, 3), np.uint8)
+                src[:n] = np.stack([p for _, _, _, p, _ in loaded])
+                src_dev = jnp.asarray(src)
+                merged: List[List[np.ndarray]] = [[] for _ in loaded]
+                for si in range(len(scales)):
+                    # Stack this scale's plans; pad rows keep all-zero
+                    # weights (their frames are the constant gray fill).
+                    parts = []
+                    for pi in range(6):
+                        shape0 = loaded[0][4][si][0][pi].shape
+                        dt = loaded[0][4][si][0][pi].dtype
+                        arr = np.zeros((batch_size, *shape0), dt)
+                        arr[:n] = np.stack(
+                            [ld[4][si][0][pi] for ld in loaded]
+                        )
+                        parts.append(jnp.asarray(arr))
+                    frames = pyr_jit(src_dev, *parts)
+                    dets_b, valid_b = predictor.detect_preprocessed(frames)
+                    dets_b = np.asarray(dets_b)
+                    valid_b = np.asarray(valid_b)
+                    for i, (_, _, (oh, ow), _, plans) in enumerate(loaded):
+                        d = dets_b[i][valid_b[i]].copy()
+                        if not len(d):
+                            continue
+                        sh, sw = plans[si][1]
+                        d = undo_letterbox_pixels(
+                            d, (th, tw), (sh, sw), letterbox
+                        )
+                        # (sh, sw) is the pre-scale of the (possibly
+                        # capped) loaded image; ow/sw folds the cap undo
+                        # and the pyramid undo into one factor.
+                        d[:, [0, 2]] *= ow / sw
+                        d[:, [1, 3]] *= oh / sh
+                        d[:, 5::2] *= ow / sw
+                        d[:, 6::2] *= oh / sh
+                        merged[i].append(d)
+                for i, (event, name, _, _, _) in enumerate(loaded):
+                    if merged[i]:
+                        m = np.concatenate(merged[i], 0)
+                        keep = nms_numpy(
+                            m[:, :4],
+                            m[:, 4],
+                            iou_threshold=predictor.pcfg.nms_iou,
+                        )[: predictor.pcfg.max_detections]
+                        dets = m[keep]
+                    else:
+                        dets = np.zeros((0, 15), np.float32)
+                    preds.setdefault(event, {})[
+                        os.path.splitext(name)[0]
+                    ] = to_rows(dets)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+    elif multiscale:
         from jabd_tpu.ops.nms import nms_numpy
         from jabd_tpu.predict import undo_letterbox_pixels
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -158,6 +159,91 @@ def letterbox_batch_device(
         fill=LETTERBOX_FILL,
         resample_dtype=resample_dtype or jnp.bfloat16,
     )
+    return y - jnp.asarray(MEANS, jnp.float32)
+
+
+# Composite cubic-prescale + bilinear-letterbox windows span at most
+# 4 + ceil(1/scale) source taps; 16 covers pyramid scales down to ~0.09.
+PYRAMID_TAPS_K = 16
+
+
+def pad_to_bucket(
+    image_u8: np.ndarray, bucket_hw: Tuple[int, int]
+) -> np.ndarray:
+    """Place a [H, W, 3] uint8 image into a static source bucket (tail
+    garbage never contributes — plan weights are zero past H/W)."""
+    bh, bw = bucket_hw
+    padded = np.empty((bh, bw, 3), np.uint8)
+    ih, iw = image_u8.shape[:2]
+    padded[:ih, :iw] = image_u8
+    return padded
+
+
+def plan_pyramid(
+    image_hw: Tuple[int, int],
+    scale: float,
+    target_hw: Tuple[int, int],
+    letterbox: bool = True,
+    k_max: int = PYRAMID_TAPS_K,
+):
+    """Compile ONE (image, pyramid-scale) pair's scale-then-letterbox —
+    the detect_multiscale recipe: float32 cv2 INTER_CUBIC pre-scale
+    (predict.py:413-417) followed by the cv2 INTER_LINEAR letterbox onto
+    the 84-gray canvas (utils/utils.py:8-19) — into ONE taps-form
+    resample plan over the RAW uint8 source.
+
+    Every scale of the pyramid rides the same source upload: the batched
+    WIDER pyramid ships one bucketed u8 image + ~KB-scale plans instead
+    of len(scales) preprocessed float32 frames (~5-8x fewer H2D bytes),
+    and the 75 ms/img host pre-scale (BENCH_NOTES round 3) moves onto
+    the MXU. Composition is exact up to f32 association (both stages are
+    linear; the host recipe materializes the float32 intermediate, we
+    don't).
+
+    Returns ((xv, wv, inside_v, xh, wh, inside_h), (sh, sw)) where
+    (sh, sw) is the virtual pre-scaled size (the caller needs it for the
+    box undo, run_wider.py).
+    """
+    ih, iw = image_hw
+    th, tw = target_hw
+    sw = max(int(iw * scale), 32)
+    sh = max(int(ih * scale), 32)
+    if letterbox:
+        _, nh, nw, top, left = letterbox_params((sh, sw), (th, tw))
+    else:
+        nh, nw, top, left = th, tw, 0, 0
+    xv, wv, iv = R.compose_scale_letterbox_taps(ih, sh, nh, top, th, k_max)
+    xh, wh, ihm = R.compose_scale_letterbox_taps(iw, sw, nw, left, tw, k_max)
+    return (xv, wv, iv, xh, wh, ihm), (sh, sw)
+
+
+def pyramid_batch_device(
+    images_u8: jnp.ndarray,  # [B, bh, bw, 3] uint8 (bucketed sources)
+    xv: jnp.ndarray,  # [B, th] int32
+    wv: jnp.ndarray,  # [B, th, K]
+    inside_v: jnp.ndarray,  # [B, th]
+    xh: jnp.ndarray,  # [B, tw] int32
+    wh: jnp.ndarray,  # [B, tw, K]
+    inside_h: jnp.ndarray,  # [B, tw]
+) -> jnp.ndarray:
+    """Jit-able: bucketed uint8 sources + composite pyramid plans ->
+    mean-subtracted float32 [B, th, tw, 3] frames. Unlike
+    letterbox_batch_device this path is all-float32 with NO intermediate
+    clamp/round — the host recipe it replaces runs cv2 on float32
+    throughout (cubic overshoot outside [0, 255] is legitimate there)."""
+    bh = images_u8.shape[1]
+    bw = images_u8.shape[2]
+    mv = R.expand_taps(xv, wv, bh, jnp.float32)
+    mh = R.expand_taps(xh, wh, bw, jnp.float32)
+    x = images_u8.astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("brh,bhwc->brwc", mv, x, precision=hi)
+    y = jnp.einsum("bow,brwc->broc", mh, y, precision=hi)
+    inside = (
+        inside_v.astype(jnp.float32)[:, :, None]
+        * inside_h.astype(jnp.float32)[:, None, :]
+    )[..., None]
+    y = y * inside + LETTERBOX_FILL * (1.0 - inside)
     return y - jnp.asarray(MEANS, jnp.float32)
 
 

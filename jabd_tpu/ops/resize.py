@@ -218,6 +218,75 @@ def cv2_bilinear_taps(
     return xmin, w
 
 
+def cv2_cubic_taps(
+    in_size: int, out_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """cv2.resize INTER_CUBIC float semantics: half-pixel centers, 4-tap
+    Keys cubic (A=-0.75 — the same kernel constant as torch), border-
+    replicate tap clamp, NO antialiasing on downscale and NO source-
+    coordinate clip (unlike torch align_corners=False, cv2 lets the
+    half-pixel center go negative at the top edge and clamps the taps
+    instead). This is the resize Predictor.detect_multiscale runs on the
+    float32 frame (predict.py:413-417). Same (xmin, weights) contract as
+    pil_bicubic_taps: window start + 4 weights, out-of-range taps
+    accumulated onto the border pixel inside the window."""
+    scale = in_size / out_size
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    x0 = np.floor(src).astype(np.int64)
+    w = _cubic_weights((src - x0).astype(np.float64)).astype(np.float32)
+    xmin = np.clip(x0 - 1, 0, max(in_size - 4, 0))
+    out_w = np.zeros((out_size, 4), np.float32)
+    rows = np.arange(out_size)
+    for j in range(4):
+        cols = np.clip(x0 - 1 + j, 0, in_size - 1) - xmin
+        np.add.at(out_w, (rows, cols), w[:, j])
+    return xmin, out_w
+
+
+def compose_scale_letterbox_taps(
+    in_size: int,
+    mid_size: int,
+    out_len: int,
+    offset: int,
+    canvas: int,
+    k_max: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fuse the image-pyramid's two host resizes into ONE taps-form plan
+    over the ORIGINAL source axis: cv2-cubic (in_size -> mid_size, the
+    pre-scale) composed with cv2-bilinear (mid_size -> out_len, the
+    letterbox fit) pasted at `offset` on a `canvas`-long axis. Both maps
+    are linear, so the composition is exact up to f32 association — the
+    device never materializes the scaled intermediate, and each scale of
+    the pyramid reuses the SAME uint8 source upload.
+
+    The composite window spans at most 4 + ceil(in/mid) source taps (two
+    adjacent bilinear taps, each pulling a 4-tap cubic window); asserts
+    it fits k_max. Returns (xmin [canvas] int32, w [canvas, k_max]
+    float32, inside [canvas] float32) with all-zero weight rows outside
+    the pasted span (callers add the gray fill).
+    """
+    cx, cw = cv2_cubic_taps(in_size, mid_size)
+    px, pw, inside = paste_resize_taps(
+        mid_size, out_len, offset, canvas, taps=cv2_bilinear_taps, k_max=2
+    )
+    j0 = px.astype(np.int64)
+    j1 = np.minimum(j0 + 1, mid_size - 1)
+    start = np.minimum(cx[j0], cx[j1])
+    k_req = int(np.max(np.maximum(cx[j0], cx[j1]) + 4 - start)) if canvas else 0
+    assert k_req <= k_max, (
+        f"composite tap window {k_req} exceeds k_max={k_max} "
+        f"(in={in_size}, mid={mid_size}) — raise k_max or pre-shrink"
+    )
+    w = np.zeros((canvas, k_max), np.float32)
+    rows = np.arange(canvas)
+    for q, jq in enumerate((j0, j1)):
+        off = cx[jq] - start
+        for t in range(4):
+            np.add.at(w, (rows, off + t), pw[:, q] * cw[jq, t])
+    w *= inside[:, None]
+    return start.astype(np.int32), w, inside
+
+
 def paste_resize_matrix(
     in_size: int,
     out_len: int,

@@ -11,6 +11,10 @@ len(scales) x the single-scale batched cost. This script measures:
      scales + letterbox + preprocess, the run_wider load_ms recipe),
   3. the host merge + numpy-NMS cost per image at a realistic
      candidate density,
+  4. the DEVICE-pyramid path (run_wider pyramid="device"): host
+     plan-building cost (ops/image.py::plan_pyramid, replaces the
+     host pre-scale) and the fused resample+detect per-scale device
+     cost from the raw uint8 source,
 
 and prints one JSON line with the device-bound multiscale rate plus the
 host rates so the sustained min() is readable. Reference analog: the
@@ -109,6 +113,39 @@ def main(size: int = 1280, batch: int = 32, n_scales: int = 3) -> None:
             I.preprocess_input_np(I.letterbox_np(scaled, (size, size)))
     host_prescale_ms = (time.perf_counter() - t0) / reps * 1e3
 
+    # Device-pyramid path: plan building on host + fused
+    # resample+detect from the raw uint8 source on device.
+    reps_plan = 20
+    t0 = time.perf_counter()
+    for _ in range(reps_plan):
+        plans = [
+            I.plan_pyramid(src.shape[:2], s, (size, size)) for s in scales
+        ]
+    host_plan_ms = (time.perf_counter() - t0) / reps_plan * 1e3
+
+    bh = -(-src.shape[0] // 128) * 128
+    bw = -(-src.shape[1] // 128) * 128
+    src_b = jnp.asarray(
+        np.broadcast_to(
+            I.pad_to_bucket(src, (bh, bw))[None], (batch, bh, bw, 3)
+        ).copy()
+    )
+    plan_b = [
+        jnp.asarray(np.broadcast_to(p[None], (batch, *p.shape)).copy())
+        for p in plans[0][0]
+    ]
+
+    def run_pyramid(srcs):
+        frames = I.pyramid_batch_device(srcs, *plan_b)
+        return detect_batch.__wrapped__(
+            model.apply, variables, frames, anchors, pcfg,
+            variances=mcfg.anchors.variance, use_pallas=use_pallas,
+        )
+
+    pyr_stats = chained_benchmark(run_pyramid, src_b, iters=12)
+    pyr_scale_ms = pyr_stats["per_iter_s"] * 1e3
+    pyr_ms_img = pyr_scale_ms * len(scales) / batch
+
     # Host merge + NMS at a realistic merged density (3 x ~170 cands).
     rng = np.random.default_rng(2)
     m = rng.random((510, 5)).astype(np.float32)
@@ -124,6 +161,9 @@ def main(size: int = 1280, batch: int = 32, n_scales: int = 3) -> None:
         "device_img_per_sec_multiscale": round(1e3 / dev_ms_img, 1),
         "host_prescale_ms_per_img": round(host_prescale_ms, 1),
         "host_merge_nms_ms_per_img": round(host_nms_ms, 2),
+        "device_pyramid_per_scale_batch_ms": round(pyr_scale_ms, 1),
+        "device_pyramid_img_per_sec": round(1e3 / pyr_ms_img, 1),
+        "host_plan_ms_per_img": round(host_plan_ms, 2),
         "batch": batch,
         "scales": list(scales),
     }))

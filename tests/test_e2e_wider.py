@@ -130,10 +130,14 @@ def test_cli_map_txt_multiscale_smoke(tmp_path, rng):
 
 
 @pytest.mark.slow
-def test_multiscale_sweep_matches_per_image(tmp_path, rng):
+@pytest.mark.parametrize("pyramid", ["host", "device"])
+def test_multiscale_sweep_matches_per_image(tmp_path, rng, pyramid):
     """The BATCHED multiscale sweep (one device dispatch per scale per
     chunk) must reproduce the per-image Predictor.detect_multiscale
-    detections exactly — same resize/letterbox/merge/NMS sequence."""
+    detections — pyramid="host" runs the identical two-stage cv2
+    sequence; pyramid="device" runs the composed on-device plans
+    (ops/image.py::plan_pyramid), exact up to f32 association, so the
+    keep-set and coordinates must still agree within float tolerance."""
     import cv2
 
     from jabd_tpu.eval.run_wider import run_wider_val
@@ -162,7 +166,7 @@ def test_multiscale_sweep_matches_per_image(tmp_path, rng):
 
     preds = run_wider_val(
         pred, str(tmp_path / "val"), batch_size=2, multiscale=True,
-        scales=scales,
+        scales=scales, pyramid=pyramid,
     )["0--Parade"]
 
     for stem, path in imgs.items():

@@ -77,6 +77,85 @@ def test_oversize_source_pre_shrinks():
     assert out.shape == (1, 128, 128, 3)
 
 
+def test_cv2_cubic_taps_match_cv2_resize():
+    """cv2.resize INTER_CUBIC float32 semantics (half-pixel centers,
+    A=-0.75, border-replicate tap clamp, no center clip)."""
+    import cv2
+
+    from jabd_tpu.ops.resize import cv2_cubic_taps
+
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 255, (37, 53, 3)).astype(np.float32)
+    for ow, oh in [(29, 61), (96, 48), (53, 37), (13, 7)]:
+        ref = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_CUBIC)
+        mats = []
+        for in_size, out_size in ((37, oh), (53, ow)):
+            xm, w = cv2_cubic_taps(in_size, out_size)
+            m = np.zeros((out_size, in_size), np.float64)
+            for r in range(out_size):
+                m[r, xm[r] : xm[r] + 4] += w[r]
+            mats.append(m)
+        out = np.einsum("Rh,hwc->Rwc", mats[0], img.astype(np.float64))
+        out = np.einsum("Ww,rwc->rWc", mats[1], out)
+        assert np.abs(out - ref).max() < 2e-3, (ow, oh)
+
+
+@pytest.mark.parametrize(
+    "shape,scale",
+    [
+        ((123, 211), 0.75),
+        ((123, 211), 1.25),
+        ((300, 180), 1.0),
+        ((77, 401), 0.5),
+    ],
+)
+def test_plan_pyramid_matches_host_two_stage(shape, scale):
+    """Composed scale+letterbox plans (ONE device resample from the raw
+    uint8 source) vs the host recipe they fuse: float32 cv2 INTER_CUBIC
+    pre-scale (predict.py:413-417 semantics) then letterbox_np +
+    preprocess. Both maps are linear, so agreement is f32-association
+    tight, not just visually close."""
+    import cv2
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    th, tw = 160, 160
+    ih, iw = shape
+    sw, sh = max(int(iw * scale), 32), max(int(ih * scale), 32)
+    scaled = cv2.resize(
+        img.astype(np.float32), (sw, sh), interpolation=cv2.INTER_CUBIC
+    )
+    host = I.preprocess_input_np(I.letterbox_np(scaled, (tw, th)))
+
+    plan, (psh, psw) = I.plan_pyramid((ih, iw), scale, (th, tw))
+    assert (psh, psw) == (sh, sw)
+    padded = I.pad_to_bucket(img, (384, 448))
+    dev = np.asarray(
+        I.pyramid_batch_device(
+            jnp.asarray(padded[None]),
+            *(jnp.asarray(p[None]) for p in plan),
+        )[0]
+    )
+    assert np.abs(dev - host).max() < 0.05
+
+
+def test_plan_pyramid_zero_plan_is_fill():
+    """All-zero plans (batch padding rows in the sweep) must yield the
+    constant gray-fill frame, not garbage from the source bucket."""
+    rng = np.random.default_rng(6)
+    src = rng.integers(0, 256, (1, 128, 128, 3), dtype=np.uint8)
+    th = tw = 64
+    k = I.PYRAMID_TAPS_K
+    z32 = jnp.zeros((1, th), jnp.int32)
+    zf = jnp.zeros((1, th), jnp.float32)
+    zw = jnp.zeros((1, th, k), jnp.float32)
+    out = np.asarray(
+        I.pyramid_batch_device(jnp.asarray(src), z32, zw, zf, z32, zw, zf)
+    )
+    expect = I.LETTERBOX_FILL - np.asarray(I.MEANS, np.float32)
+    np.testing.assert_allclose(out, np.broadcast_to(expect, out.shape))
+
+
 @pytest.mark.slow
 def test_predictor_detect_images_mixed_sizes():
     """One compiled graph serves mixed-resolution inputs; identity-resize
