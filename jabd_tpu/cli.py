@@ -506,10 +506,12 @@ def cmd_map_txt(args):
     --batch-size > 1 streams the whole tree through the fused batched
     device program (eval/run_wider.py, BASELINE config #2); --multiscale
     runs the bicubic image-pyramid sweep (BASELINE config #5), with
-    --pyramid device (default: on-device composed-plan pre-scale, exact
-    to ~1e-4 grey levels) or --pyramid host (byte-exact two-stage cv2
-    recipe). Single-scale batched dumps are byte-identical to the
-    single-image path.
+    --pyramid host (default: byte-exact two-stage cv2 recipe, dumps
+    diff clean vs the per-image path) or --pyramid device (opt-in
+    on-device composed-plan pre-scale — approximate: <=0.05 grey
+    levels vs host, plus a 2048px source pre-shrink the host mode
+    doesn't apply). Single-scale batched dumps are byte-identical to
+    the single-image path.
     """
     import cv2
 
@@ -770,9 +772,10 @@ def main(argv=None):
     sp.add_argument(
         "--pyramid",
         choices=("device", "host"),
-        default="device",
-        help="multiscale pre-scale: on-device composed plans (default) "
-        "or the byte-exact host cv2 recipe",
+        default="host",
+        help="multiscale pre-scale: byte-exact host cv2 recipe "
+        "(default) or opt-in on-device composed plans (approximate, "
+        "<=0.05 grey levels + a 2048px source cap)",
     )
     sp.set_defaults(fn=cmd_map_txt)
 

@@ -34,6 +34,12 @@ def _scan_bucket(val_dir: str, items) -> Tuple[int, int]:
     for event, name in items:
         with Image.open(os.path.join(val_dir, event, name)) as im:
             w, h = im.size
+            # cv2.imread (the decode this bucket must fit) applies EXIF
+            # orientation; PIL's raw header size does not. Orientations
+            # 5-8 transpose the decoded image — swap so a rotated source
+            # can't overflow pad_to_bucket's copy.
+            if im.getexif().get(274, 1) in (5, 6, 7, 8):
+                w, h = h, w
         bh = max(bh, min(h, _SRC_CAP))
         bw = max(bw, min(w, _SRC_CAP))
     return -(-bh // 128) * 128, -(-bw // 128) * 128
@@ -59,7 +65,7 @@ def run_wider_val(
     num_workers: int = 8,
     multiscale: bool = False,
     scales=(0.75, 1.0, 1.25),
-    pyramid: str = "device",
+    pyramid: str = "host",
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Sweep a WIDER val tree. Returns {event: {stem: [N,5] xywh+score}}
     (the evaluator's in-memory format); optionally writes txt dumps.
@@ -70,16 +76,21 @@ def run_wider_val(
     union. pyramid selects where the per-scale pre-scale+letterbox
     pixels are computed:
 
-    * "device" (default): ONE uint8 source upload per image; each scale
-      is a composed taps-form resample plan (ops/image.py::plan_pyramid)
-      expanded and applied on the MXU — no host pre-scale (was 75
-      ms/img, BENCH_NOTES round 3) and ~5-8x fewer H2D bytes. Exact up
-      to f32 association with the host recipe (<=1e-4 grey levels,
-      tested vs the per-image path in tests/test_e2e_wider.py).
-    * "host": the byte-exact two-stage cv2 recipe of
+    * "host" (default): the byte-exact two-stage cv2 recipe of
       Predictor.detect_multiscale (float32 INTER_CUBIC pre-scale,
       predict.py:403-424, then letterbox), identical detections to the
-      per-image path.
+      per-image path. Txt dumps diff clean against prior runs.
+    * "device": ONE uint8 source upload per image; each scale is a
+      composed taps-form resample plan (ops/image.py::plan_pyramid)
+      expanded and applied on the MXU — no host pre-scale (was 75
+      ms/img, BENCH_NOTES round 3) and ~5-8x fewer H2D bytes. Opt-in
+      acceleration, APPROXIMATE vs the host recipe: tested to <=0.05
+      grey levels against the per-image path
+      (tests/test_e2e_wider.py::test_plan_pyramid_matches_host_two_stage),
+      and sources larger than 2048px are additionally cv2-bilinear
+      pre-shrunk (_SRC_CAP) — a pre-shrink the host branch does NOT
+      apply, so very large sources diverge between the modes by more
+      than float association.
     """
     import cv2
 

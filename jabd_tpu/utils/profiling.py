@@ -75,7 +75,13 @@ def chained_benchmark(
     once, and divide. The result is pure device time + a single RTT.
 
     step_fn(images) must return a pytree of arrays whose first element
-    depends on the full computation.
+    depends on the full computation. `images` may be a single array or
+    a PYTREE of inputs — every leaf is threaded through the loop carry
+    (`x + acc*0`), so no input embeds as a constant and no part of the
+    body is loop-invariant (hoistable). Pass EVERYTHING the step
+    consumes here: a closed-over array becomes a compile-time constant,
+    and any computation on it gets hoisted out of the timed loop
+    (the fantasy-timing traps documented in CLAUDE.md).
     """
     import jax
     import jax.numpy as jnp
@@ -87,7 +93,9 @@ def chained_benchmark(
             out = step_fn(imgs_c)
             leaves = jax.tree_util.tree_leaves(out)
             acc = acc + sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
-            imgs_c = imgs_c + (acc * 0).astype(imgs_c.dtype)
+            imgs_c = jax.tree_util.tree_map(
+                lambda x: x + (acc * 0).astype(x.dtype), imgs_c
+            )
             return imgs_c, acc
 
         return jax.lax.fori_loop(0, n, body, (imgs, jnp.float32(0)))[1]

@@ -135,14 +135,22 @@ def main(size: int = 1280, batch: int = 32, n_scales: int = 3) -> None:
         for p in plans[0][0]
     ]
 
-    def run_pyramid(srcs):
-        frames = I.pyramid_batch_device(srcs, *plan_b)
+    def run_pyramid(inp):
+        # Plans arrive through the loop carry (not a closure): closed-over
+        # plans embed as constants, expand_taps becomes loop-invariant,
+        # and XLA hoists the dense-matrix expansion out of the timed loop
+        # — overstating the rate vs the real run_wider path where plans
+        # are fresh arguments every dispatch (CLAUDE.md hoisting trap).
+        srcs, plans = inp
+        frames = I.pyramid_batch_device(srcs, *plans)
         return detect_batch.__wrapped__(
             model.apply, variables, frames, anchors, pcfg,
             variances=mcfg.anchors.variance, use_pallas=use_pallas,
         )
 
-    pyr_stats = chained_benchmark(run_pyramid, src_b, iters=12)
+    pyr_stats = chained_benchmark(
+        run_pyramid, (src_b, tuple(plan_b)), iters=12
+    )
     pyr_scale_ms = pyr_stats["per_iter_s"] * 1e3
     pyr_ms_img = pyr_scale_ms * len(scales) / batch
 

@@ -186,6 +186,34 @@ def test_multiscale_sweep_matches_per_image(tmp_path, rng, pyramid):
         assert len(rows), stem  # non-vacuous: random weights at 0.02 fire
 
 
+def test_scan_bucket_exif_orientation(tmp_path):
+    """An EXIF-rotated source (orientation 6) decodes TRANSPOSED under
+    cv2.imread (which applies EXIF) while PIL's raw header size doesn't
+    rotate — the bucket scan must fit the cv2-decoded shape or
+    pad_to_bucket's copy overflows and kills the device-pyramid sweep
+    (ADVICE r3 #1)."""
+    import cv2
+    from PIL import Image
+
+    from jabd_tpu.eval.run_wider import _scan_bucket
+    from jabd_tpu.ops.image import pad_to_bucket
+
+    val_dir = tmp_path / "0--Parade"
+    val_dir.mkdir(parents=True)
+    im = Image.new("RGB", (300, 100))  # raw header: w=300, h=100
+    exif = im.getexif()
+    exif[274] = 6  # rotate 90 CW on decode -> 100w x 300h
+    path = val_dir / "rot.jpg"
+    im.save(str(path), exif=exif)
+
+    decoded = cv2.imread(str(path))
+    assert decoded.shape[:2] == (300, 100)  # cv2 applied the EXIF
+
+    bh, bw = _scan_bucket(str(tmp_path), [("0--Parade", "rot.jpg")])
+    assert bh >= decoded.shape[0] and bw >= decoded.shape[1]
+    pad_to_bucket(decoded, (bh, bw))  # must not raise
+
+
 @pytest.mark.slow
 def test_batched_val_sweep(tmp_path, rng):
     """run_wider_val: batched sweep produces the same prediction structure
