@@ -171,6 +171,13 @@ class TrainConfig:
     # Static uint8 source bucket for device augmentation (H, W); larger
     # sources are PIL pre-shrunk on host.
     augment_bucket: Tuple[int, int] = (1024, 1024)
+    # From-scratch init: the reference applies weights_init(net,
+    # 'normal', 0.02) when not loading pretrained weights
+    # (retinaface_training.py:305-324, train_mobilenetV3_ecagai.py:
+    # 447-449) — conv kernels ~ N(0, 0.02^2), BN scale ~ N(1, 0.02^2).
+    # 'none' keeps flax defaults (lecun_normal). Loaded checkpoints
+    # overwrite either way.
+    weights_init: str = "normal"
 
 
 @dataclasses.dataclass(frozen=True)

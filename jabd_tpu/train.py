@@ -105,6 +105,18 @@ def create_train_state(
     variables = jax.jit(functools.partial(model.init, train=False))(
         rng, dummy
     )
+    if train_cfg.weights_init != "none":
+        # Reference from-scratch init (weights_init(net, 'normal', 0.02),
+        # retinaface_training.py:305-324): conv N(0, 0.02^2), BN scale
+        # N(1, 0.02^2). Checkpoint/pretrained loads overwrite this.
+        from jabd_tpu.models.init import reference_weights_init
+
+        variables = dict(variables)
+        variables["params"] = jax.jit(
+            functools.partial(
+                reference_weights_init, init_type=train_cfg.weights_init
+            )
+        )(jax.random.fold_in(rng, 1), variables["params"])
     tx = make_optimizer(
         lr or train_cfg.lr_freeze,
         steps_per_epoch,
@@ -268,6 +280,29 @@ def make_train_step(
     return aug_step
 
 
+def _schedule_count(opt_state) -> int:
+    """Step count of the lr schedule inside a (possibly multi_transform-
+    wrapped) optimizer state — the source of truth for the current lr,
+    robust across fresh/per-phase/resumed optimizers."""
+    found = []
+
+    def walk(x):
+        if isinstance(x, optax.ScaleByScheduleState):
+            found.append(int(x.count))
+        elif hasattr(x, "_fields"):  # optax states are NamedTuples
+            for f in x:
+                walk(f)
+        elif isinstance(x, (list, tuple)):
+            for f in x:
+                walk(f)
+        elif isinstance(x, dict):
+            for f in x.values():
+                walk(f)
+
+    walk(opt_state)
+    return found[0] if found else 0
+
+
 def fit(
     model_cfg: configs.ModelConfig,
     train_cfg: configs.TrainConfig,
@@ -297,6 +332,17 @@ def fit(
     )
     step_fn = make_train_step(model_cfg, train_cfg)
     history = LossHistory(log_dir)
+    # metrics.csv twin of the recognition fit (reference observability:
+    # tqdm postfix shows per-loss terms + lr via utils/utils.py:24 get_lr,
+    # train_mobilenetV3_ecagai.py:539-542; LossHistory only kept total
+    # loss until round 4).
+    import os as _os
+
+    metrics_path = _os.path.join(log_dir, "metrics.csv")
+    _os.makedirs(log_dir, exist_ok=True)
+    if not _os.path.exists(metrics_path):
+        with open(metrics_path, "w") as f:
+            f.write("epoch,step,loss,loss_l,loss_c,loss_landm,lr\n")
 
     state = init_state
     # Auto-resume from the latest checkpoint (the reference resumes by
@@ -365,6 +411,18 @@ def fit(
 
         for epoch in range(first, last):
             t0 = time.time()
+            # The lr the epoch's FIRST update uses: schedule(count) with
+            # the count read from the live optimizer state (survives
+            # mid-phase resume, where `epoch - first` would not).
+            cur_lr = float(
+                optax.exponential_decay(
+                    init_value=lr,
+                    transition_steps=max(steps_per_epoch, 1),
+                    decay_rate=train_cfg.lr_gamma,
+                    staircase=True,
+                )(_schedule_count(state.opt_state))
+            )
+            step_metrics = []  # device-array dicts — no per-step sync
             step_losses = []  # device arrays — no per-step host sync
             if train_cfg.device_augment:
                 from jabd_tpu.data.device_augment import device_train_loader
@@ -432,6 +490,7 @@ def fit(
                         state, images_d, targets, anchors
                     )
                 step_losses.append(metrics["loss"])
+                step_metrics.append(metrics)
                 if len(step_losses) - synced > MAX_IN_FLIGHT:
                     float(step_losses[synced])
                     synced += 1
@@ -439,9 +498,24 @@ def fit(
             mean_loss = (
                 float(jnp.mean(jnp.stack(step_losses))) if nsteps else 0.0
             )
+            means = {
+                k: (
+                    float(jnp.mean(jnp.stack([m[k] for m in step_metrics])))
+                    if nsteps
+                    else 0.0
+                )
+                for k in ("loss_l", "loss_c", "loss_landm")
+            }
             history.append_loss(mean_loss)
+            with open(metrics_path, "a") as f:
+                f.write(
+                    f"{epoch + 1},{int(state.step)},{mean_loss:.6f},"
+                    f"{means['loss_l']:.6f},{means['loss_c']:.6f},"
+                    f"{means['loss_landm']:.6f},{cur_lr:.8f}\n"
+                )
             print(
                 f"epoch {epoch + 1}/{last} loss={mean_loss:.4f} "
+                f"lr={cur_lr:.6f} "
                 f"({time.time() - t0:.1f}s, {nsteps} steps)"
             )
             if checkpoint_manager is not None and (

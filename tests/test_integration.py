@@ -84,6 +84,13 @@ def test_fit_one_epoch_synthetic(tmp_path, wider_tree, tiny_cfg):  # noqa: F811
     assert state is not None
     assert int(state.step) >= 1
     assert mgr.latest_step() == 1
+    # metrics.csv twin (VERDICT r3 #7): epoch/loss-parts/lr columns, lr
+    # at epoch 1 == lr_unfreeze * gamma^0 (freeze_epochs=0).
+    lines = (tmp_path / "logs" / "metrics.csv").read_text().splitlines()
+    assert lines[0] == "epoch,step,loss,loss_l,loss_c,loss_landm,lr"
+    row = lines[1].split(",")
+    assert int(row[0]) == 1 and float(row[2]) > 0
+    assert abs(float(row[6]) - tcfg.lr_unfreeze) < 1e-12
 
 
 def test_sharded_batched_inference(tiny_cfg, rng):
@@ -152,6 +159,13 @@ def test_fit_auto_resume(tmp_path, wider_tree, tiny_cfg):  # noqa: F811
                       checkpoint_manager=mgr)
     assert mgr.latest_step() == 2
     assert int(state.step) >= 2
+    # Resumed epoch 2's lr reflects the RESTORED schedule count: one
+    # epoch of decay into the unfreeze phase (gamma^1), not gamma^0.
+    lines = (tmp_path / "logs2" / "metrics.csv").read_text().splitlines()
+    row = lines[1].split(",")
+    assert int(row[0]) == 2
+    expect = tcfg2.lr_unfreeze * tcfg2.lr_gamma
+    assert abs(float(row[6]) - expect) / expect < 1e-6
 
 
 def test_fit_device_augment_epoch(tmp_path, wider_tree, tiny_cfg):  # noqa: F811
