@@ -138,8 +138,14 @@ def cmd_train(args):
     from jabd_tpu.recognition import train as RT
     from jabd_tpu.recognition.data import ImageFolderDataset
 
+    import jax.numpy as jnp
+
     ds = ImageFolderDataset(args.data_root)
-    model = build_model(args.arch)
+    model = build_model(
+        args.arch,
+        dtype=jnp.bfloat16 if getattr(args, "precision", 32) == 16
+        else jnp.float32,
+    )
     pad_to = 0
     if getattr(args, "shard_head", False):
         # Pad the classifier width to the mesh size make_mesh_for_batch
@@ -160,6 +166,14 @@ def cmd_train(args):
             m * steps_per_epoch for m in args.milestones
         ),
     )
+    if getattr(args, "shard_head", False) and getattr(
+        args, "microbatches", 1
+    ) > 1:
+        raise SystemExit(
+            "--microbatches with --shard-head is not supported: the "
+            "class-sharded step is already the memory lever for the head, "
+            "and chunk-scanning under the sharded program is untested"
+        )
     if getattr(args, "shard_head", False):
         # PartialFC-style class-sharded head over all local chips
         # (recognition/parallel.py): batch rides the data axis, the
@@ -180,9 +194,13 @@ def cmd_train(args):
             file=sys.stderr,
         )
     elif args.device_augment:
-        step = RT.make_train_step_aug(model, head)
+        step = RT.make_train_step_aug(
+            model, head, microbatches=getattr(args, "microbatches", 1)
+        )
     else:
-        step = RT.make_train_step(model, head)
+        step = RT.make_train_step(
+            model, head, microbatches=getattr(args, "microbatches", 1)
+        )
 
     RT.fit(
         model,
@@ -370,6 +388,19 @@ def main(argv=None):
         "kernel (and its momentum) along the class axis over all local "
         "devices while the batch rides the data axis — the memory/scale "
         "answer for web-scale identity counts (recognition/parallel.py)",
+    )
+    sp.add_argument(
+        "--microbatches", type=int, default=1,
+        help="accumulate_grad_batches analog (main.py:40-50): split each "
+        "batch into N chunks inside ONE jitted step (lax.scan), average "
+        "the gradients, apply one update — pass batch-size = effective "
+        "batch and microbatches = accumulate count",
+    )
+    sp.add_argument(
+        "--precision", type=int, choices=(16, 32), default=32,
+        help="Lightning precision switch (main.py:43): 16 runs the "
+        "backbone in bfloat16 compute (params and the margin head stay "
+        "float32)",
     )
     sp.set_defaults(fn=cmd_train)
 

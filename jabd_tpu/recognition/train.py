@@ -102,7 +102,22 @@ def create_state(
     )
 
 
-def make_train_step(model: N.IRBackbone, head):
+def make_train_step(model: N.IRBackbone, head, microbatches: int = 1):
+    """`microbatches > 1` is the `accumulate_grad_batches` analog
+    (main.py:40-50 passes it to the Lightning Trainer): ONE jitted step
+    splits the batch into chunks under lax.scan, averages the chunk
+    gradients, and applies a single optimizer update — pass
+    batch_size = effective batch and microbatches = accumulate count.
+    Activation memory and HLO size scale with the CHUNK, so effective
+    batches past the single-shot HBM/compile limits become reachable.
+    Documented semantics vs one big batch (standard grad-accumulation
+    trades, same as jabd_tpu.train's detection microbatching): backbone
+    BN normalizes per CHUNK (ghost BN, exactly what Lightning's
+    accumulation does to BN too), and AdaFace's norm-statistics EMA
+    (heads.py batch_mean/std) updates per chunk sequentially — chunk
+    i+1's margin sees chunk i's update (Lightning likewise updates the
+    buffers every forward, not every optimizer step)."""
+
     def loss_fn(params, batch_stats, images, labels, rng):
         (emb, norm), mut_m = model.apply(
             {"params": params["model"], "batch_stats": batch_stats["model"]},
@@ -111,6 +126,10 @@ def make_train_step(model: N.IRBackbone, head):
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
+        # Margin heads stay f32 even when the backbone computes in bf16
+        # (the precision switch): arccos/margin math is accuracy-critical.
+        emb = emb.astype(jnp.float32)
+        norm = norm.astype(jnp.float32)
         logits, mut_h = head.apply(
             {"params": params["head"], "batch_stats": batch_stats["head"]},
             emb,
@@ -129,13 +148,52 @@ def make_train_step(model: N.IRBackbone, head):
         acc = jnp.mean(jnp.argmax(logits, -1) == labels)
         return ce, (new_bs, acc)
 
-    # Donate the state (44M-param backbone + 70k-class head + Adam
-    # moments): avoids a transient 2x state copy per dispatch.
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: RecTrainState, images, labels, rng):
-        (loss, (new_bs, acc)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, images, labels, rng)
+    def _grads_and_metrics(state, inputs, labels, rng, make_images):
+        if microbatches <= 1:
+            (loss, (new_bs, acc)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(
+                state.params, state.batch_stats, make_images(inputs),
+                labels, rng,
+            )
+            return grads, new_bs, {"loss": loss, "acc": acc}
+
+        b = jax.tree_util.tree_leaves(inputs)[0].shape[0]
+        assert b % microbatches == 0, (
+            f"batch {b} not divisible by microbatches={microbatches}"
+        )
+
+        def chunked(x):
+            return x.reshape((microbatches, b // microbatches) + x.shape[1:])
+
+        inputs_c = jax.tree_util.tree_map(chunked, inputs)
+        labels_c = chunked(labels)
+
+        def body(carry, xs):
+            bs, acc_grads, i = carry
+            inp, lb = xs
+            (loss, (new_bs, acc)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(
+                state.params, bs, make_images(inp), lb,
+                jax.random.fold_in(rng, i),  # distinct dropout per chunk
+            )
+            acc_grads = jax.tree_util.tree_map(
+                lambda a, g: a + g, acc_grads, grads
+            )
+            return (new_bs, acc_grads, i + 1), {"loss": loss, "acc": acc}
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (new_bs, gsum, _), metrics_c = jax.lax.scan(
+            body,
+            (state.batch_stats, zero, jnp.int32(0)),
+            (inputs_c, labels_c),
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / microbatches, gsum)
+        metrics = jax.tree_util.tree_map(jnp.mean, metrics_c)
+        return grads, new_bs, metrics
+
+    def _update(state, grads, new_bs, metrics):
         updates, new_opt = state.tx.update(
             grads, state.opt_state, state.params
         )
@@ -146,25 +204,43 @@ def make_train_step(model: N.IRBackbone, head):
                 batch_stats=new_bs,
                 opt_state=new_opt,
             ),
-            {"loss": loss, "acc": acc},
+            metrics,
         )
 
+    # Donate the state (44M-param backbone + 70k-class head + Adam
+    # moments): avoids a transient 2x state copy per dispatch.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: RecTrainState, images, labels, rng):
+        grads, new_bs, metrics = _grads_and_metrics(
+            state, images, labels, rng, make_images=lambda x: x
+        )
+        return _update(state, grads, new_bs, metrics)
+
+    step._grads_and_metrics = _grads_and_metrics
+    step._update = _update
     return step
 
 
-def make_train_step_aug(model: N.IRBackbone, head):
+def make_train_step_aug(model: N.IRBackbone, head, microbatches: int = 1):
     """Device-augmented twin of make_train_step: takes uint8 faces + a
     FaceAugmentPlan (recognition/device_augment.py) and fuses the whole
     augmentation (crop mask, low-res resample matmuls, photometric,
-    flip, normalize) into the jitted step."""
+    flip, normalize) into the jitted step. Under microbatching each scan
+    chunk augments its own slice (augment memory stays chunk-sized)."""
     from jabd_tpu.recognition import device_augment as FDA
 
-    base = make_train_step(model, head)
+    base = make_train_step(model, head, microbatches)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: RecTrainState, images_u8, plan, labels, rng):
-        images = FDA.device_augment_faces(images_u8, plan)
-        return base.__wrapped__(state, images, labels, rng)
+        grads, new_bs, metrics = base._grads_and_metrics(
+            state,
+            (images_u8, plan),
+            labels,
+            rng,
+            make_images=lambda inp: FDA.device_augment_faces(inp[0], inp[1]),
+        )
+        return base._update(state, grads, new_bs, metrics)
 
     return step
 

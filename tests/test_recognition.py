@@ -245,6 +245,71 @@ def test_train_step_smoke(rng):
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
 
 
+def test_microbatched_step_matches_full_batch_on_duplicated_halves(rng):
+    """accumulate_grad_batches analog (main.py:40-50): with the batch =
+    two identical halves, per-chunk BN statistics equal the full-batch
+    statistics, so a 2-microbatch step must reproduce the one-shot step
+    exactly. Uses a dropout-free backbone (chunks draw distinct dropout
+    streams by design) and the stateless CosFace head (AdaFace's
+    norm-EMA updates per chunk sequentially — documented semantics, not
+    an equality)."""
+    model = IRBackbone(num_layers=18, mode="ir", dropout=0.0)
+    head = build_head("cosface", class_num=8)
+    state = RT.create_state(
+        jax.random.PRNGKey(0), model, head, num_train_steps_hint=10,
+        lr=0.01, image_size=56,
+    )
+    half_img = rng.normal(0, 1, (2, 56, 56, 3)).astype(np.float32)
+    half_lab = rng.integers(0, 8, 2)
+    images = jnp.asarray(np.concatenate([half_img, half_img]))
+    labels = jnp.asarray(np.concatenate([half_lab, half_lab]))
+
+    full = RT.make_train_step(model, head)
+    micro = RT.make_train_step(model, head, microbatches=2)
+    sf, mf = full(state, images, labels, jax.random.PRNGKey(1))
+    # donate_argnums: rebuild the same initial state for the second run
+    state2 = RT.create_state(
+        jax.random.PRNGKey(0), model, head, num_train_steps_hint=10,
+        lr=0.01, image_size=56,
+    )
+    sm, mm = micro(state2, images, labels, jax.random.PRNGKey(1))
+    # f32 association only: CE mean-of-chunk-means + chunked BN
+    # reductions reorder the sums.
+    np.testing.assert_allclose(
+        float(mf["loss"]), float(mm["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sf.params),
+        jax.tree_util.tree_leaves(sm.params),
+    ):
+        # A handful of elements in the 4M-param output Linear see the
+        # chunk-reduction association amplified through the scale-64
+        # margin logits — bounded absolutely, not relatively.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-4
+        )
+
+
+def test_microbatched_adaface_step_smoke(rng):
+    """AdaFace under microbatching: the head's batch_mean/std EMA threads
+    sequentially through the scan chunks and the step stays finite."""
+    model = build_model("ir_18")
+    head = build_head("adaface", class_num=8)
+    state = RT.create_state(
+        jax.random.PRNGKey(0), model, head, num_train_steps_hint=10,
+        lr=0.01, image_size=56,
+    )
+    step = RT.make_train_step(model, head, microbatches=2)
+    images = jnp.asarray(
+        rng.normal(0, 1, (4, 56, 56, 3)).astype(np.float32)
+    )
+    labels = jnp.asarray(rng.integers(0, 8, 4))
+    before = float(state.batch_stats["head"]["batch_mean"])
+    state, m = step(state, images, labels, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert float(state.batch_stats["head"]["batch_mean"]) != before
+
+
 def test_flip_tta_extraction(ir18, rng):
     model, variables = ir18
     images = rng.normal(0, 1, (5, 112, 112, 3)).astype(np.float32)
