@@ -178,6 +178,13 @@ class TrainConfig:
     # 'none' keeps flax defaults (lecun_normal). Loaded checkpoints
     # overwrite either way.
     weights_init: str = "normal"
+    # Anchor matching backend inside the loss: 'auto' (Pallas kernel on
+    # TPU, XLA elsewhere), 'xla', 'pallas', or 'pallas_interpret' (the
+    # Pallas kernel in interpreter mode — CPU-testable). Under a
+    # >1-device mesh the Pallas kernel runs per-shard via shard_map
+    # (GSPMD can't partition an opaque kernel call); see
+    # losses.multibox_loss.
+    matching_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,6 +56,7 @@ def smooth_l1(x: jnp.ndarray) -> jnp.ndarray:
         "variances",
         "box_loss",
         "matching_impl",
+        "matching_mesh",
     ),
 )
 def multibox_loss(
@@ -66,35 +67,80 @@ def multibox_loss(
     neg_pos_ratio: int = 7,
     variances: Tuple[float, float] = (0.1, 0.2),
     box_loss: str = "smooth_l1",  # or 'diou'
-    matching_impl: str = "auto",  # 'auto' | 'xla' | 'pallas'
+    matching_impl: str = "auto",  # 'auto'|'xla'|'pallas'|'pallas_interpret'
+    matching_mesh=None,  # jax.sharding.Mesh when the step runs SPMD
 ) -> Dict[str, jnp.ndarray]:
     """Returns dict(loss_l, loss_c, loss_landm) — the three normalized
-    terms the train scripts combine as loc_weight*l + c + landm."""
+    terms the train scripts combine as loc_weight*l + c + landm.
+
+    `matching_mesh`: the mesh a multi-device train step shards its batch
+    over. The Pallas matching kernel is an opaque custom call GSPMD
+    cannot partition (the same reason SERVING runs its Pallas NMS under
+    shard_map — predict.py::_sharded_detect_fn); with a >1-device mesh
+    the kernel therefore runs per-shard via shard_map over the batch
+    axis. Matching consumes only targets + priors (never params), so
+    gradients don't flow through the wrapped region. The XLA matching
+    path needs no wrapping — GSPMD partitions dense ops natively.
+    """
     loc_data, conf_data, landm_data = predictions
     bsz, num_priors = conf_data.shape[:2]
 
+    interpret = matching_impl == "pallas_interpret"
     if matching_impl == "auto":
         matching_impl = (
             "pallas" if jax.default_backend() == "tpu" else "xla"
         )
-    if matching_impl == "pallas":
+    if matching_impl.startswith("pallas"):
         # O(P)-memory fused kernel with valid-prefix early exit — faster
         # than the dense [B, G, P] path at real GT densities and saves
         # the 0.5 GB overlap tensor (see ops/matching_pallas.py).
         from jabd_tpu.ops.matching_pallas import match_batch_pallas
 
-        match_fn = match_batch_pallas
+        match_fn = functools.partial(match_batch_pallas, interpret=interpret)
     else:
         match_fn = matching.match_batch
-    m = match_fn(
-        overlap_threshold,
-        targets.boxes,
-        priors,
-        variances,
-        targets.labels,
-        targets.landms,
-        targets.valid,
-    )
+
+    if (
+        matching_impl.startswith("pallas")
+        and matching_mesh is not None
+        and matching_mesh.size > 1
+    ):
+        if bsz % matching_mesh.size:
+            raise ValueError(
+                f"batch {bsz} (per loss call — the microbatch chunk when "
+                f"microbatches>1) must divide the mesh size "
+                f"{matching_mesh.size} for sharded Pallas matching; use "
+                f"matching_impl='xla' or adjust the batch"
+            )
+        axis = matching_mesh.axis_names[0]
+        from jax.sharding import PartitionSpec as P
+
+        def _body(boxes, labels, landms, valid, pri):
+            return match_fn(
+                overlap_threshold, boxes, pri, variances, labels, landms,
+                valid,
+            )
+
+        m = jax.shard_map(
+            _body,
+            mesh=matching_mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+            out_specs=P(axis),
+            # per-sample compute only (no collectives); vma checking
+            # rejects the opaque Pallas call
+            check_vma=False,
+        )(targets.boxes, targets.labels, targets.landms, targets.valid,
+          priors)
+    else:
+        m = match_fn(
+            overlap_threshold,
+            targets.boxes,
+            priors,
+            variances,
+            targets.labels,
+            targets.landms,
+            targets.valid,
+        )
 
     pos1 = m.conf_t > 0  # landmark positives     [B, P]
     pos = m.conf_t != 0  # box positives          [B, P]

@@ -138,13 +138,24 @@ def create_train_state(
 def make_train_step(
     model_cfg: configs.ModelConfig,
     train_cfg: configs.TrainConfig,
+    mesh=None,
 ):
     """Builds the jitted SPMD train step.
 
     step(state, images [B,H,W,3], targets Targets, anchors [P,4])
       -> (new_state, metrics dict)
+
+    `mesh`: pass the data mesh the batch is sharded over (fit() does).
+    The step itself stays bare jit — GSPMD partitions the model, loss,
+    and optimizer natively — but the Pallas matching kernel is an opaque
+    custom call GSPMD can't split, so with a >1-device mesh the loss
+    runs it per-shard under shard_map (losses.multibox_loss
+    matching_mesh). Without the mesh, TPU-default Pallas matching inside
+    a sharded step would fail to partition (the exact failure mode
+    serving solved for its Pallas NMS, predict.py:250-284).
     """
     model = build_model(model_cfg, mode="train")
+    matching_mesh = mesh if (mesh is not None and mesh.size > 1) else None
     # Presets with tap dropout (re50_dropout) need a per-step RNG; derive
     # it inside the jitted step from the seed + step counter so the step
     # signature stays pure and the stream is deterministic under resume.
@@ -181,6 +192,8 @@ def make_train_step(
             neg_pos_ratio=train_cfg.neg_pos_ratio,
             variances=model_cfg.anchors.variance,
             box_loss=model_cfg.box_loss,
+            matching_impl=train_cfg.matching_impl,
+            matching_mesh=matching_mesh,
         )
         loss = losses.total_loss(parts, train_cfg.loc_weight)
         return loss, (parts, mut["batch_stats"])
@@ -330,7 +343,7 @@ def fit(
         ),
         M.replicate(mesh),
     )
-    step_fn = make_train_step(model_cfg, train_cfg)
+    step_fn = make_train_step(model_cfg, train_cfg, mesh=mesh)
     history = LossHistory(log_dir)
     # metrics.csv twin of the recognition fit (reference observability:
     # tqdm postfix shows per-loss terms + lr via utils/utils.py:24 get_lr,
