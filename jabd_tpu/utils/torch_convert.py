@@ -190,7 +190,10 @@ def _walk_flagship(m: _Map, cfg: ModelConfig) -> None:
 
 
 def _walk_common(
-    m: _Map, cfg: ModelConfig, tap_eca_names: Tuple[str, ...] = ()
+    m: _Map,
+    cfg: ModelConfig,
+    tap_eca_names: Tuple[str, ...] = (),
+    nlm_name: str = "nlm",
 ) -> None:
     """FPN / NLM / eca taps / SSH / heads — shared by every detector
     assembly (flagship inline model, retinaface_eca_nonlocal.py, ...).
@@ -231,8 +234,20 @@ def _walk_common(
         # (their merge1 is dead — nets/layers.py:184-185,240,305).
         m.convbn("fpn.merge2.0", "fpn.merge2.1", ("fpn", "merge_shared"))
     if cfg.nlm is not None:
+        # torch attribute case differs per family: the mobilenet/JABD
+        # assemblies name it `fpn.nlm` (retinaface_r.py:167,
+        # train_mobilenetV3_ecagai.py:244) while the resnet assemblies
+        # capitalize `fpn.Nlm` (retinaface_eca_nonlocal.py:50,
+        # retinaface_NonLocal.py, retinaface_eca_hwish.py). Getting this
+        # wrong silently DROPS trained NLM weights on import (zero-init W
+        # masks it at random init — caught by the round-4 pipeline test).
         for name in ("f_query", "f_key", "f_value", "W"):
-            m.conv_with_bias(f"fpn.nlm.{name}", ("fpn", "nlm", name))
+            m.conv_with_bias(f"fpn.{nlm_name}.{name}", ("fpn", "nlm", name))
+    if cfg.fpn_upsample == "pixelshuffle":
+        # Learned sub-pixel upsample (the train_all_bicubic.py:231-271
+        # pixelshuffle_block sketch): one conv shared across levels; torch
+        # naming follows that sketch's conv-before-PixelShuffle layout.
+        m.conv_with_bias("fpn.pix.conv", ("fpn", "pix", "conv"))
     if cfg.fpn_attention:
         m.eca("eca_fpn", ("eca_fpn",))
 
@@ -268,6 +283,16 @@ def _walk_common(
             f"LandmarkHead.{i}.conv1x1",
             (f"landmark_head{i + 1}", "conv1x1"),
         )
+    if cfg.with_iou_head:
+        # Per-level IoU heads (re50_iou_head preset). The reference's
+        # _make_IOU_head builds a single [BboxHead, IOUHead] pair and
+        # never calls it in forward (retinaface_IOU.py:131-137,
+        # SURVEY 2.1) — our applied per-level heads export under the
+        # natural per-level extension of that naming.
+        for i in range(cfg.num_levels):
+            m.conv_with_bias(
+                f"IOUHead.{i}.conv1x1", (f"iou_head{i + 1}", "conv1x1")
+            )
 
 
 def _walk_resnet(
@@ -304,7 +329,7 @@ def _walk_resnet(
                 )
             in_ch = p * 4
 
-    _walk_common(m, cfg, tap_eca_names=tap_eca_names)
+    _walk_common(m, cfg, tap_eca_names=tap_eca_names, nlm_name="Nlm")
 
 
 def _walk_epsa(

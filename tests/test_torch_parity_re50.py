@@ -62,16 +62,17 @@ class TFPNNearestNLM(nn.Module):
         self.output3 = _conv_bn(in_list[2], out, 1, 1, leaky)
         self.merge1 = _conv_bn(out, out, 3, 1, leaky)
         self.merge2 = _conv_bn(out, out, 3, 1, leaky)
-        self.nlm = TNLM(out, ch=4, psp=(1, 4, 8, 12))
+        # capital N matches the reference attribute (retinaface_eca_nonlocal.py:50)
+        self.Nlm = TNLM(out, ch=4, psp=(1, 4, 8, 12))
 
     def forward(self, inputs):
         o1 = self.output1(inputs[0])
         o2 = self.output2(inputs[1])
         o3 = self.output3(inputs[2])
         up3 = F.interpolate(o3, size=o2.shape[2:], mode="nearest")
-        o2 = self.merge2(o2 + self.nlm(up3))
+        o2 = self.merge2(o2 + self.Nlm(up3))
         up2 = F.interpolate(o2, size=o1.shape[2:], mode="nearest")
-        o1 = self.merge1(o1 + self.nlm(up2))
+        o1 = self.merge1(o1 + self.Nlm(up2))
         return [o1, o2, o3]
 
 
