@@ -192,7 +192,14 @@ class PredictConfig:
     """Inference defaults. Reference: predict.py:25-60 `_defaults`."""
 
     confidence: float = 0.5
-    nms_iou: float = 0.45
+    # 0.3, NOT the 0.45 the reference's _defaults dict declares: every
+    # reference call site passes only the confidence
+    # (predict.py:181,303,329,399), so its "nms_iou" key is DEAD and the
+    # EFFECTIVE threshold is non_max_suppression's default 0.3
+    # (utils_bbox.py:260). Found by tests/test_pipeline_parity.py
+    # (519 vs 181 keeps at 0.45); we default to the reference's
+    # behavior, not its dead config.
+    nms_iou: float = 0.3
     # 'iou' (torchvision parity) or 'diou' (utils/utils_bbox.py:182).
     nms_kind: str = "iou"
     input_shape: Tuple[int, int] = (1280, 1280)
@@ -313,6 +320,25 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
         tap_attention="eca_stdv",
         fpn_attention="eca_stdv",
         eca_gate="hsigmoid",
+        fpn_upsample="nearest",
+        nlm=NLMConfig(ch=4, psp_sizes=(1, 4, 8, 12)),
+    ),
+    # nets/retinaface_r.py — the IMPORTABLE module form of the JABD
+    # assembly (train_movilenet.py:8 uses it, bs=24): MobileNetV3_Large_eca
+    # backbone (in-block hsigmoid ECAs), avg-pool ECA taps eca_40/80/160 +
+    # shared eca_fpn, all SIGMOID-gated (retinaface_r.py:219-222), nearest
+    # FPN upsample with NLM(40) at its defaults ch=4 / psp (1,4,8,12)
+    # (:156,167).
+    "retinaface_r": _mk(
+        "retinaface_r",
+        anchors=CFG_MNET,
+        backbone="mobilenet_v3_large",
+        backbone_block_attention="eca",
+        in_channels=(40, 80, 160),
+        out_channels=40,
+        tap_attention="eca",
+        fpn_attention="eca",
+        eca_gate="sigmoid",
         fpn_upsample="nearest",
         nlm=NLMConfig(ch=4, psp_sizes=(1, 4, 8, 12)),
     ),
