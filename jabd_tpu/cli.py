@@ -499,6 +499,57 @@ def cmd_count(args):
     )
 
 
+def _quantize_for_map_txt(args, pred):
+    """int8-quantize the predictor before a map-txt sweep, calibrating on
+    the val tree's first images. With --quantize-search + --gt-dir the
+    clip-ratio grid is scored by the TASK metric — mean Easy/Medium/Hard
+    WIDER AP of a full quantized sweep per candidate — instead of the
+    output-error proxy (VERDICT r3: 'wire --quantize-search scoring to
+    AP where a GT tree is available')."""
+    import cv2
+
+    sample = []
+    for event in sorted(os.listdir(args.val_dir)):
+        event_dir = os.path.join(args.val_dir, event)
+        if not os.path.isdir(event_dir):
+            continue
+        for name in sorted(os.listdir(event_dir)):
+            if name.lower().endswith((".jpg", ".png")) and len(sample) < 8:
+                img = cv2.imread(os.path.join(event_dir, name))
+                if img is not None:
+                    sample.append(img)
+    if not sample:
+        raise SystemExit("--quantize int8: no readable val images")
+
+    score_fn = None
+    if getattr(args, "quantize_search", False) and getattr(
+        args, "gt_dir", ""
+    ):
+        from jabd_tpu.eval import evaluate_wider
+        from jabd_tpu.eval.run_wider import run_wider_val
+
+        def score_fn(qvars):
+            saved = pred.variables
+            pred.variables = pred._place_variables(qvars)
+            try:
+                preds = run_wider_val(
+                    pred, args.val_dir, batch_size=max(args.batch_size, 1)
+                )
+                aps = evaluate_wider(preds, args.gt_dir)
+                score = -(aps["easy"] + aps["medium"] + aps["hard"]) / 3.0
+                print(f"[int8 search] mean AP {-score:.4f}", file=sys.stderr)
+                return score
+            finally:
+                pred.variables = saved
+
+    n = pred.quantize_int8(
+        sample,
+        search_clip=getattr(args, "quantize_search", False),
+        score_fn=score_fn,
+    )
+    print(f"[int8] quantized {n} conv sites", file=sys.stderr)
+
+
 def cmd_map_txt(args):
     """get_map_txt dump over a WIDER val tree (predict.py:338-415 format
     consumed by the evaluator).
@@ -516,6 +567,8 @@ def cmd_map_txt(args):
     import cv2
 
     pred = _load_predictor(args)
+    if getattr(args, "quantize", "none") == "int8":
+        _quantize_for_map_txt(args, pred)
     if args.batch_size > 1 or args.multiscale:
         from jabd_tpu.eval.run_wider import run_wider_val
 
@@ -589,7 +642,10 @@ def main(argv=None):
         if weights:
             sp.add_argument("--weights", default="")
         sp.add_argument("--confidence", type=float, default=0.5)
-        sp.add_argument("--nms-iou", type=float, default=0.45)
+        # 0.3 = the reference's EFFECTIVE threshold: its declared
+        # "nms_iou": 0.45 is dead (call sites pass only confidence,
+        # predict.py:181; default 0.3 at utils_bbox.py:260).
+        sp.add_argument("--nms-iou", type=float, default=0.3)
         sp.add_argument("--input-size", type=int, default=1280)
         sp.add_argument(
             "--quantize", choices=["none", "int8"], default="none",
@@ -776,6 +832,14 @@ def main(argv=None):
         help="multiscale pre-scale: byte-exact host cv2 recipe "
         "(default) or opt-in on-device composed plans (approximate, "
         "<=0.05 grey levels + a 2048px source cap)",
+    )
+    sp.add_argument(
+        "--gt-dir",
+        default="",
+        help="with --quantize int8 --quantize-search: score clip-ratio "
+        "candidates by WIDER AP against this GT tree (one full val "
+        "sweep per grid point — use a small val subset) instead of "
+        "end-to-end output error",
     )
     sp.set_defaults(fn=cmd_map_txt)
 

@@ -248,39 +248,50 @@ def search_clip_ratio(
     calib: Dict[str, Any],
     batches: Iterable,
     grid=(1.0, 0.95, 0.9, 0.85, 0.8, 0.7, 0.6),
+    score_fn=None,
 ):
     """Grid-search a global activation clip ratio by END-TO-END error.
 
     For each candidate ratio r, quantizes with ``x_scale = absmax*r/127``
     and scores the quantized graph's outputs against the float graph's
     on ``batches`` (mean per-leaf relative L2 over the whole output
-    pytree). Returns ``(best_ratio, {ratio: err})``. One forward per
+    pytree). Returns ``(best_ratio, {ratio: score})``. One forward per
     (batch, ratio) — all candidates share one compiled graph because the
     quantized param STRUCTURE is ratio-independent.
 
     This is the accuracy-oriented refinement of absmax calibration
     (clipping outliers spends the int8 grid where the mass is); the
     end-to-end objective subsumes per-site percentile heuristics.
+
+    ``score_fn(qvars) -> float`` (lower is better) replaces the
+    output-error objective entirely — used to score candidates by the
+    TASK metric, e.g. negative WIDER AP through the evaluator when a GT
+    tree is available (cli map-txt --quantize-search --gt-dir).
     """
 
     @jax.jit
     def _run(v, x):
         return model.apply(v, x, train=False)
 
-    batches = [jnp.asarray(x) for x in batches]
-    if not batches:
-        raise ValueError("search_clip_ratio: no batches provided")
-    refs = [jax.device_get(_run(variables, x)) for x in batches]
+    if score_fn is None:
+        batches = [jnp.asarray(x) for x in batches]
+        if not batches:
+            raise ValueError("search_clip_ratio: no batches provided")
+        refs = [jax.device_get(_run(variables, x)) for x in batches]
+
+        def score_fn(qvars):
+            return float(
+                np.mean(
+                    [
+                        _rel_err(jax.device_get(_run(qvars, x)), ref)
+                        for x, ref in zip(batches, refs)
+                    ]
+                )
+            )
+
     errs: Dict[float, float] = {}
     for r in grid:
         qvars, _ = quantize_variables(variables, calib, clip_ratio=float(r))
-        errs[float(r)] = float(
-            np.mean(
-                [
-                    _rel_err(jax.device_get(_run(qvars, x)), ref)
-                    for x, ref in zip(batches, refs)
-                ]
-            )
-        )
+        errs[float(r)] = float(score_fn(qvars))
     best = min(errs, key=errs.get)
     return best, errs

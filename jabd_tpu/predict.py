@@ -201,7 +201,10 @@ class Predictor:
         return variables
 
     def quantize_int8(
-        self, sample_images: np.ndarray, search_clip: bool = False
+        self,
+        sample_images: np.ndarray,
+        search_clip: bool = False,
+        score_fn=None,
     ) -> int:
         """Switch serving to the int8 path (models/quantize.py): folded
         non-depthwise ConvBNs run as int8 MXU convs (2x the bf16 MXU
@@ -210,7 +213,9 @@ class Predictor:
         float RGB) pushed through the same preprocessing as serving.
         `search_clip=True` additionally grid-searches a global clip
         ratio below absmax, scored by end-to-end output error on the
-        same samples (models/quantize.py::search_clip_ratio).
+        same samples (models/quantize.py::search_clip_ratio) — or by
+        `score_fn(candidate_variables) -> float` (lower better) when
+        given, e.g. negative AP through the WIDER evaluator.
         Returns the number of quantized conv sites. Requires fold_bn
         (the default ctor path). No reference analog (predict.py serves
         fp32 torch)."""
@@ -233,7 +238,7 @@ class Predictor:
         ratio = 1.0
         if search_clip:
             ratio, _ = search_clip_ratio(
-                self.model, self.variables, calib, [x]
+                self.model, self.variables, calib, [x], score_fn=score_fn
             )
         variables, n = quantize_variables(
             self.variables, calib, clip_ratio=ratio

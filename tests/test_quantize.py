@@ -216,3 +216,53 @@ def test_quantize_requires_folded_tree():
     calib = Q.calibrate(model, v, [jnp.ones_like(x)])
     with pytest.raises(ValueError):
         Q.quantize_variables(v, calib)  # unfolded: no foldable sites
+
+
+def test_search_clip_ratio_custom_score_fn():
+    """score_fn replaces the output-error objective: candidates are
+    scored by the TASK metric (the cli map-txt --gt-dir AP wiring).
+    Pins: one call per grid point with a structurally-quantized tree,
+    and the returned best ratio is the score_fn argmin, not the
+    output-error argmin."""
+    cfg = configs.get_model_config("mnet_v3_plain")
+    model = build_model(cfg, mode="eval")
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(0, 1.0, (1, 64, 64, 3)), jnp.float32)
+    v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+    folded = fold_batchnorm(v)
+    calib = Q.calibrate(model, folded, [x])
+
+    grid = (1.0, 0.9, 0.8)
+    seen = []
+    fake = {1.0: 3.0, 0.9: 1.0, 0.8: 2.0}  # argmin at 0.9 by fiat
+
+    def score_fn(qvars):
+        leaves = jax.tree_util.tree_flatten_with_path(qvars["params"])[0]
+        ratio = None
+        for path, leaf in leaves:
+            key = "/".join(map(str, path))
+            if key.endswith("x_scale']"):
+                base = float(np.asarray(calib_scale_for(key)))
+                ratio = round(float(np.asarray(leaf)) / base, 6)
+                break
+        seen.append(ratio)
+        return fake[ratio]
+
+    # map an x_scale leaf back to its absmax/127 base (ratio recovery)
+    base_q, _ = Q.quantize_variables(folded, calib, clip_ratio=1.0)
+    base_leaves = {
+        "/".join(map(str, p)): l
+        for p, l in jax.tree_util.tree_flatten_with_path(
+            base_q["params"]
+        )[0]
+    }
+
+    def calib_scale_for(key):
+        return base_leaves[key]
+
+    best, scores = Q.search_clip_ratio(
+        model, folded, calib, [], grid=grid, score_fn=score_fn
+    )
+    assert best == 0.9
+    assert scores == fake
+    assert sorted(seen) == sorted(grid)
