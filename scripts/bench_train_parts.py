@@ -1,7 +1,8 @@
-"""Train-step component breakdown on the real TPU (round-3 lever hunt).
+"""Train-step component breakdown on the real TPU (round-3 lever hunt;
+round 4 adds --model + per-part MFU for the re50 attribution ask).
 
 Measures, with the chained methodology (utils/profiling.chained_benchmark
-pattern: carry threaded, full-output reduction), at flagship train shapes:
+pattern: carry threaded, full-output reduction), at train shapes:
 
   fwd_eval    - eval-mode forward (running-stat BN)
   fwd_train   - train-mode forward (batch-stat BN)
@@ -9,7 +10,11 @@ pattern: carry threaded, full-output reduction), at flagship train shapes:
   loss_only   - matching + MultiBox loss on fixed predictions
   full_step   - the production train step (fwd + loss + bwd + Adam)
 
+Each part also reports achieved TFLOP/s and MFU (XLA cost_analysis FLOPs
+of the UNchained single call / measured per-iter time / v5e bf16 peak).
+
 Usage: python scripts/bench_train_parts.py [batch] [size] [iters] [parts]
+                                           [model]
   parts: comma-separated subset (default all), e.g. loss_only,full_step
 """
 
@@ -29,28 +34,57 @@ from jabd_tpu.models import build_model
 from jabd_tpu.ops import anchors as A
 
 
-def timed(fn, args, iters, tag):
-    """fn(args_tuple, n) -> scalar; chained inside fn."""
+V5E_BF16_PEAK = 197e12  # TPU v5e bf16 MXU peak FLOP/s
+
+
+def timed(fn, args, iters, tag, flops=None):
+    """fn(args_tuple, n) -> scalar; chained inside fn. flops: cost of ONE
+    iteration (for achieved-TFLOP/s + MFU columns)."""
     w = fn(*args, 1)
     float(np.asarray(w))
     t0 = time.perf_counter()
     out = fn(*args, iters)
     float(np.asarray(out))
     dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({"part": tag, "ms": round(dt * 1e3, 1)}), flush=True)
+    rec = {"part": tag, "ms": round(dt * 1e3, 1)}
+    if flops:
+        rec["tflops"] = round(flops / dt / 1e12, 1)
+        rec["mfu_pct"] = round(100 * flops / dt / V5E_BF16_PEAK, 1)
+    print(json.dumps(rec), flush=True)
     return dt
+
+
+def flops_or_none(fn, *args):
+    """cost_analysis FLOPs of the single (unchained) call; None on
+    backends that don't report it."""
+    try:
+        from jabd_tpu.utils.profiling import flops_of
+
+        f = flops_of(fn, *args)
+        return None if f != f else f  # NaN -> None
+    except Exception:
+        return None
 
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 840
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    only = (
+        set(sys.argv[4].split(","))
+        if len(sys.argv) > 4 and sys.argv[4] != "all"
+        else None
+    )
+    preset = sys.argv[5] if len(sys.argv) > 5 else "jabd_flagship"
 
     def want(tag):
         return only is None or tag in only
 
-    mcfg = configs.get_model_config("jabd_flagship")
+    mcfg = configs.get_model_config(preset)
+    print(
+        json.dumps({"model": preset, "batch": batch, "size": size}),
+        flush=True,
+    )
     tcfg = configs.TrainConfig(batch_size=batch, image_size=size)
     model = build_model(mcfg, mode="train")
 
@@ -91,7 +125,10 @@ def main():
         return jax.lax.fori_loop(0, n, body, (imgs, jnp.float32(0)))[1]
 
     if want("fwd_eval"):
-        timed(fwd_eval, (variables, images), iters, "fwd_eval")
+        fl = flops_or_none(
+            lambda v, im: model.apply(v, im, train=False), variables, images
+        )
+        timed(fwd_eval, (variables, images), iters, "fwd_eval", fl)
 
     # --- fwd train-mode ---
     @jax.jit
@@ -108,7 +145,14 @@ def main():
         return jax.lax.fori_loop(0, n, body, (imgs, jnp.float32(0)))[1]
 
     if want("fwd_train"):
-        timed(fwd_train, (variables, images), iters, "fwd_train")
+        fl = flops_or_none(
+            lambda v, im: model.apply(
+                v, im, train=True, mutable=["batch_stats"]
+            ),
+            variables,
+            images,
+        )
+        timed(fwd_train, (variables, images), iters, "fwd_train", fl)
 
     # --- fwd + bwd (sum-loss, no matching stage) ---
     @jax.jit
@@ -139,7 +183,22 @@ def main():
         return jax.lax.fori_loop(0, n, body, (imgs, jnp.float32(0)))[1]
 
     if want("fwd_bwd"):
-        timed(fwd_bwd, (variables, images), iters, "fwd_bwd")
+
+        def _lf(params, bs, im):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": bs}, im, train=True,
+                mutable=["batch_stats"],
+            )
+            return sum(jnp.sum(o) for o in out)
+
+        fl = flops_or_none(
+            lambda v, im: jax.value_and_grad(_lf)(
+                v["params"], v["batch_stats"], im
+            ),
+            variables,
+            images,
+        )
+        timed(fwd_bwd, (variables, images), iters, "fwd_bwd", fl)
 
     # --- loss only (fixed predictions) ---
     p = anchors.shape[0]
@@ -166,7 +225,17 @@ def main():
         return jax.lax.fori_loop(0, n, body, (preds, jnp.float32(0)))[1]
 
     if want("loss_only"):
-        timed(loss_only, (preds, targets), iters, "loss_only")
+        fl = flops_or_none(
+            lambda pr, tg: losses.multibox_loss(
+                pr, anchors, tg,
+                overlap_threshold=tcfg.overlap_threshold,
+                neg_pos_ratio=tcfg.neg_pos_ratio,
+                variances=mcfg.anchors.variance,
+            ),
+            preds,
+            targets,
+        )
+        timed(loss_only, (preds, targets), iters, "loss_only", fl)
 
     # --- full step ---
     raw_step = train.make_train_step(mcfg, tcfg).__wrapped__
@@ -181,7 +250,13 @@ def main():
         return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))[1]
 
     if want("full_step"):
-        timed(full, (state, images, targets), iters, "full_step")
+        fl = flops_or_none(
+            lambda st, im, tg: raw_step(st, im, tg, anchors),
+            state,
+            images,
+            targets,
+        )
+        timed(full, (state, images, targets), iters, "full_step", fl)
 
 
 if __name__ == "__main__":
