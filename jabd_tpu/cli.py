@@ -624,6 +624,7 @@ def cmd_train(args):
         device_augment=args.device_augment,
         save_period=args.save_period,
         microbatches=args.microbatches,
+        matching_impl=args.matching_impl,
     )
     ds = WiderFaceDataset(args.label_txt, input_size=tcfg.image_size)
     mgr = CheckpointManager(args.ckpt_dir)
@@ -873,6 +874,14 @@ def main(argv=None):
         action="store_true",
         help="run get_random_data augmentation on the TPU (MXU resample "
         "+ fused HSV; host only decodes+pads — see data/device_augment)",
+    )
+    sp.add_argument(
+        "--matching-impl",
+        choices=["auto", "xla", "pallas", "pallas_interpret"],
+        default="auto",
+        help="anchor-matching kernel: 'auto' = Pallas on TPU, XLA "
+        "elsewhere (on a >1-device mesh the Pallas kernel runs "
+        "per-shard via shard_map — see losses.multibox_loss)",
     )
     sp.set_defaults(fn=cmd_train)
 
