@@ -39,7 +39,7 @@ _T0 = time.time()
 
 
 def _detector_ips(
-    preset: str, size: int, batch: int, iters: int = 20
+    preset: str, size: int, batch: int, iters: int = 20, int8: bool = False
 ) -> float:
     """img/s of the fully-fused detect program (normalize -> backbone ->
     neck -> SSH -> heads -> decode -> top-k -> NMS), chained harness."""
@@ -91,6 +91,13 @@ def _detector_ips(
         variables,
         cast=jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else None,
     )
+    if int8:
+        # The documented serving config for the ResNet/IR families
+        # (BENCH_NOTES int8 sections: 1.22x at zero measured AP cost).
+        from jabd_tpu.models import quantize as Q
+
+        calib = Q.calibrate(model, variables, [images[:8]])
+        variables, _ = Q.quantize_variables(variables, calib)
     anchors = jnp.asarray(A.generate_anchors(mcfg.anchors, (size, size)))
     use_pallas = jax.default_backend() == "tpu"
 
@@ -196,6 +203,16 @@ def main(size: int = 640, batch: int = 0) -> None:
         lambda: _train_step_stats(
             34 if on_tpu else 2, 840 if on_tpu else 128
         )["img_per_sec"],
+    )
+    # Int8 serving on the ResNet predict.py model — the family's
+    # documented serving mode (AP-neutral on trained checkpoints).
+    guarded(
+        "images_per_sec_640_re50_eca_nonlocal_int8_e2e",
+        "img/s/chip",
+        lambda: _detector_ips(
+            "re50_eca_nonlocal", 640, 64 if on_tpu else 2, iters=12,
+            int8=True,
+        ),
     )
     out["extras"] = extras
     print(json.dumps(out))
