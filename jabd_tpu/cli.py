@@ -94,7 +94,26 @@ def _load_predictor(args):
         input_shape=(args.input_size, args.input_size),
     )
     mesh = None
-    if getattr(args, "data_parallel", False):
+    partition = "data"
+    if getattr(args, "spatial", False):
+        if getattr(args, "data_parallel", False):
+            raise SystemExit(
+                "--spatial and --data-parallel are mutually exclusive "
+                "(one mesh axis: pick batch- or height-sharding)"
+            )
+        # Spatial partitioning: every chip cooperates on every image
+        # (height axis sharded, conv halos over ICI) — the latency mode.
+        from jabd_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        partition = "spatial"
+        if mesh.size > 1:
+            print(
+                f"[mesh] forward spatially partitioned over {mesh.size} "
+                "devices",
+                file=sys.stderr,
+            )
+    elif getattr(args, "data_parallel", False):
         # Shard serving batches over every local chip (the reference's
         # nn.DataParallel wrap, predict.py:109, as a shard_map mesh).
         from jabd_tpu.parallel.mesh import make_mesh_for_batch
@@ -105,7 +124,7 @@ def _load_predictor(args):
                 f"[mesh] serving sharded over {mesh.size} devices",
                 file=sys.stderr,
             )
-    return Predictor(mcfg, variables, pcfg, mesh=mesh)
+    return Predictor(mcfg, variables, pcfg, mesh=mesh, partition=partition)
 
 
 def _draw(image, dets):
@@ -625,6 +644,7 @@ def cmd_train(args):
         save_period=args.save_period,
         microbatches=args.microbatches,
         matching_impl=args.matching_impl,
+        fsdp=args.fsdp,
     )
     ds = WiderFaceDataset(args.label_txt, input_size=tcfg.image_size)
     mgr = CheckpointManager(args.ckpt_dir)
@@ -658,6 +678,13 @@ def main(argv=None):
             help="with --quantize int8: grid-search a global activation "
             "clip ratio by end-to-end output error on the calibration "
             "images (clips outliers, tightens the int8 grid)",
+        )
+        sp.add_argument(
+            "--spatial", action="store_true",
+            help="spatially partition the forward over all local devices "
+            "(image height sharded, GSPMD conv halos): the multi-chip "
+            "LATENCY mode — batch=1 scales across chips, unlike "
+            "--data-parallel which needs mesh-divisible batches",
         )
 
     sp = sub.add_parser("predict")
@@ -882,6 +909,13 @@ def main(argv=None):
         help="anchor-matching kernel: 'auto' = Pallas on TPU, XLA "
         "elsewhere (on a >1-device mesh the Pallas kernel runs "
         "per-shard via shard_map — see losses.multibox_loss)",
+    )
+    sp.add_argument(
+        "--fsdp",
+        action="store_true",
+        help="ZeRO-style memory scaling on >1-device meshes: shard "
+        "large params + Adam moments over the data mesh instead of "
+        "replicating (parallel/fsdp.py; numerically identical to DP)",
     )
     sp.set_defaults(fn=cmd_train)
 

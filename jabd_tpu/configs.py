@@ -185,6 +185,13 @@ class TrainConfig:
     # (GSPMD can't partition an opaque kernel call); see
     # losses.multibox_loss.
     matching_impl: str = "auto"
+    # FSDP/ZeRO-style memory scaling (parallel/fsdp.py): shard every
+    # large parameter and its Adam moments along the data mesh instead
+    # of replicating — per-chip param+optimizer memory ~1/mesh, XLA
+    # inserting the weight all-gathers and gradient reduce-scatters.
+    # Numerically identical to replicated DP (tests/test_fsdp.py). No
+    # reference analog (DataParallel/DDP replicate the model per rank).
+    fsdp: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,31 +40,20 @@ def _use_pallas_default() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "model_apply",
-        "pcfg",
-        "variances",
-        "use_pallas",
-    ),
-)
-def detect_batch(
-    model_apply,
-    variables,
-    images: jnp.ndarray,  # [B, H, W, 3] float32, mean-subtracted
+def postprocess_outputs(
+    loc: jnp.ndarray,  # [B, P, 4]
+    cls: jnp.ndarray,  # [B, P, 2]
+    landm: jnp.ndarray,  # [B, P, 10]
     anchors: jnp.ndarray,  # [P, 4]
     pcfg: configs.PredictConfig,
     variances: Tuple[float, float] = (0.1, 0.2),
     use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """The fused graph. Returns (dets [B, max_out, 15], valid [B, max_out]).
-
-    Boxes/landmarks are in NORMALIZED [0,1] input coords — pixel scaling
-    and letterbox-undo happen in the thin host wrapper (they depend on the
-    original image size, which is per-image host data).
-    """
-    loc, cls, landm = model_apply(variables, images)
+    """Stages 1-3 of the fused graph (decode -> top-k filter -> NMS ->
+    compact), factored out of `detect_batch` so serving modes that
+    partition the FORWARD differently (spatial partitioning, AOT) can
+    reuse the identical postprocess. Returns (dets [B, max_out, 15],
+    valid [B, max_out])."""
     scores = cls[..., 1]
 
     k = min(pcfg.pre_nms_topk, scores.shape[-1])
@@ -115,6 +104,36 @@ def detect_batch(
     return jax.vmap(compact)(keep, cand_boxes, top_sc, cand_landms)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model_apply",
+        "pcfg",
+        "variances",
+        "use_pallas",
+    ),
+)
+def detect_batch(
+    model_apply,
+    variables,
+    images: jnp.ndarray,  # [B, H, W, 3] float32, mean-subtracted
+    anchors: jnp.ndarray,  # [P, 4]
+    pcfg: configs.PredictConfig,
+    variances: Tuple[float, float] = (0.1, 0.2),
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The fused graph. Returns (dets [B, max_out, 15], valid [B, max_out]).
+
+    Boxes/landmarks are in NORMALIZED [0,1] input coords — pixel scaling
+    and letterbox-undo happen in the thin host wrapper (they depend on the
+    original image size, which is per-image host data).
+    """
+    loc, cls, landm = model_apply(variables, images)
+    return postprocess_outputs(
+        loc, cls, landm, anchors, pcfg, variances, use_pallas
+    )
+
+
 _letterbox_batch_jit = jax.jit(I.letterbox_batch_device)
 
 
@@ -160,15 +179,29 @@ class Predictor:
         use_pallas: Optional[bool] = None,
         fold_bn: bool = True,
         mesh=None,
+        partition: str = "data",
     ):
         """`mesh`: an optional 1-D `jax.sharding.Mesh` (parallel/mesh.py).
         When given (and larger than one device), batched entry points
-        shard the batch axis across it — the TPU-native replacement for
-        the reference's `nn.DataParallel` serving wrap (predict.py:109).
-        Params are replicated; the fused detect graph runs under
-        `shard_map` so the Pallas NMS kernel executes per-shard (GSPMD
-        can't partition an opaque kernel call). Batch sizes must divide
-        the mesh size."""
+        shard across it — the TPU-native replacement for the reference's
+        `nn.DataParallel` serving wrap (predict.py:109). Params are
+        always replicated. `partition` picks the axis:
+
+        * ``"data"`` (default): the batch axis is sharded; the fused
+          detect graph runs under `shard_map` so the Pallas NMS kernel
+          executes per-shard (GSPMD can't partition an opaque kernel
+          call). Batch sizes must divide the mesh size. Maximizes
+          throughput.
+        * ``"spatial"``: the image HEIGHT axis is sharded — GSPMD
+          spatial partitioning, with XLA inserting the conv halo
+          exchanges over ICI automatically. No batch-divisibility
+          constraint (batch=1 works), so this is the latency mode for
+          large inputs (the 1280x1280 reference eval shape): every chip
+          cooperates on every image instead of each chip owning whole
+          images. The postprocess (top-k/NMS on <=pre_nms_topk
+          candidates) is too small to split and runs replicated on each
+          device under shard_map. The input height must divide the mesh
+          size. No reference analog (DataParallel only splits batch)."""
         self.mcfg = model_cfg
         self.pcfg = predict_cfg or configs.PredictConfig()
         if fold_bn:
@@ -190,7 +223,13 @@ class Predictor:
         )
         self._apply = functools.partial(self._apply_fn)
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if partition not in ("data", "spatial"):
+            raise ValueError(
+                f"partition must be 'data' or 'spatial', got {partition!r}"
+            )
+        self.partition = partition
         self._sharded_detect = None
+        self._spatial_detect = None
         self.variables = self._place_variables(variables)
 
     def _place_variables(self, variables):
@@ -288,10 +327,79 @@ class Predictor:
             )
         return self._sharded_detect
 
+    def _spatial_detect_fn(self):
+        """jit with GSPMD SPATIAL partitioning — built once.
+
+        The image height axis carries the sharding; a
+        with_sharding_constraint on the input is the only annotation,
+        and XLA's SPMD partitioner propagates it through the conv
+        stack, inserting the halo exchanges (and the gathers the
+        global-context ops — NLM attention, matmul resize — need)
+        automatically. Head outputs are constrained back to replicated
+        and the postprocess runs per-device under an all-replicated
+        shard_map, which keeps the opaque Pallas NMS call legal on a
+        >1-device mesh (same reason as _sharded_detect_fn)."""
+        if self._spatial_detect is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from jabd_tpu.parallel.mesh import DATA_AXIS
+
+            mesh = self.mesh
+            sp = NamedSharding(mesh, P(None, DATA_AXIS))
+            rep = NamedSharding(mesh, P())
+
+            def post(loc, cls, landm, anchors):
+                return postprocess_outputs(
+                    loc,
+                    cls,
+                    landm,
+                    anchors,
+                    self.pcfg,
+                    variances=self.mcfg.anchors.variance,
+                    use_pallas=self.use_pallas,
+                )
+
+            def core(variables, images, anchors):
+                images = jax.lax.with_sharding_constraint(images, sp)
+                loc, cls, landm = self._apply(variables, images)
+                loc, cls, landm = jax.tree_util.tree_map(
+                    lambda t: jax.lax.with_sharding_constraint(t, rep),
+                    (loc, cls, landm),
+                )
+                return jax.shard_map(
+                    post,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(), P()),
+                    out_specs=P(),
+                    check_vma=False,
+                )(loc, cls, landm, anchors)
+
+            self._spatial_detect = jax.jit(core)
+        return self._spatial_detect
+
     def _detect_core(self, images: jnp.ndarray, hw: Tuple[int, int]):
         """Dispatch a mean-subtracted [B, *hw, 3] device batch through the
         fused graph — sharded over `self.mesh` when one was given."""
         anchors = self._anchors_for(hw)
+        if self.mesh is not None and self.partition == "spatial":
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from jabd_tpu.parallel import mesh as M
+            from jabd_tpu.parallel.mesh import DATA_AXIS
+
+            h = images.shape[1]
+            if h % self.mesh.size:
+                raise ValueError(
+                    f"input height {h} must divide the serving mesh size "
+                    f"{self.mesh.size} for spatial partitioning"
+                )
+            images = jax.device_put(
+                images, NamedSharding(self.mesh, P(None, DATA_AXIS))
+            )
+            anchors = jax.device_put(anchors, M.replicate(self.mesh))
+            return self._spatial_detect_fn()(
+                self.variables, images, anchors
+            )
         if self.mesh is not None:
             from jabd_tpu.parallel import mesh as M
 
@@ -363,7 +471,11 @@ class Predictor:
             jnp.asarray(iv),
             jnp.asarray(ih_),
         ]
-        if self.mesh is not None and len(images) % self.mesh.size == 0:
+        if (
+            self.mesh is not None
+            and self.partition == "data"
+            and len(images) % self.mesh.size == 0
+        ):
             # Shard the letterbox inputs too: the per-sample resample
             # einsums partition cleanly under GSPMD (no Pallas inside),
             # and the frames arrive already laid out for _detect_core.

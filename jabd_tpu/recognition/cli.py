@@ -187,11 +187,20 @@ def cmd_train(args):
             if args.device_augment
             else RP.make_sharded_train_step
         )
-        step, state = maker(model, head, state, mesh)
+        step, state = maker(
+            model, head, state, mesh,
+            fsdp=getattr(args, "fsdp", False),
+        )
         print(
             f"[shard-head] {ds.num_classes} classes over "
-            f"{mesh.devices.size} devices",
+            f"{mesh.devices.size} devices"
+            + (" + fsdp backbone" if getattr(args, "fsdp", False) else ""),
             file=sys.stderr,
+        )
+    elif getattr(args, "fsdp", False):
+        raise SystemExit(
+            "--fsdp requires --shard-head (the FSDP placement rides the "
+            "same sharded-step jit; plain DP stays replicated)"
         )
     elif args.device_augment:
         step = RT.make_train_step_aug(
@@ -388,6 +397,14 @@ def main(argv=None):
         "kernel (and its momentum) along the class axis over all local "
         "devices while the batch rides the data axis — the memory/scale "
         "answer for web-scale identity counts (recognition/parallel.py)",
+    )
+    sp.add_argument(
+        "--fsdp",
+        action="store_true",
+        help="with --shard-head: additionally shard large backbone "
+        "params + their SGD momentum over the mesh (FSDP/ZeRO rule, "
+        "parallel/fsdp.py) — per-chip memory ~1/N, numerically "
+        "identical to replicated",
     )
     sp.add_argument(
         "--microbatches", type=int, default=1,

@@ -59,17 +59,28 @@ def _path_keys(path) -> list:
 
 
 def rec_state_shardings(
-    state: RecTrainState, mesh: Mesh, axis_name: str = DATA_AXIS
+    state: RecTrainState,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+    fsdp: bool = False,
 ) -> Any:
     """Sharding tree for a RecTrainState: the head classifier kernel
     (and its optimizer-state mirrors — optax trees mirror the param
     structure, so the same path predicate finds the momentum leaf) is
     sharded [D, C/N] along the class axis; every other leaf replicates.
-    """
+
+    `fsdp=True` additionally applies the FSDP/ZeRO rule
+    (parallel/fsdp.py) to the remaining leaves: large BACKBONE params
+    and their SGD momentum shard along their largest mesh-divisible
+    axis over the same mesh — composing class-parallel (tp) with
+    weight-update sharding on one axis. The reference replicates the
+    whole IR backbone + optimizer per DDP rank (main.py:37-50)."""
     rep = replicate(mesh)
     col = NamedSharding(mesh, P(None, axis_name))
 
     n = int(mesh.shape[axis_name])
+    if fsdp:
+        from jabd_tpu.parallel.fsdp import leaf_spec
 
     def spec(path, leaf):
         keys = _path_keys(path)
@@ -87,33 +98,41 @@ def rec_state_shardings(
                     "padding columns are exactly masked)"
                 )
             return col
+        if fsdp:
+            return NamedSharding(
+                mesh, leaf_spec(getattr(leaf, "shape", ()), n)
+            )
         return rep
 
     return jax.tree_util.tree_map_with_path(spec, state)
 
 
 def shard_rec_state(
-    state: RecTrainState, mesh: Mesh, axis_name: str = DATA_AXIS
+    state: RecTrainState,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+    fsdp: bool = False,
 ) -> Tuple[RecTrainState, Any]:
     """Place a (host or single-device) RecTrainState onto the mesh with
     the class-sharded-head layout. Returns (sharded_state, shardings)."""
-    shardings = rec_state_shardings(state, mesh, axis_name)
+    shardings = rec_state_shardings(state, mesh, axis_name, fsdp=fsdp)
     placed = jax.tree_util.tree_map(jax.device_put, state, shardings)
     return placed, shardings
 
 
 def make_sharded_train_step(
     model, head, state: RecTrainState, mesh: Mesh,
-    axis_name: str = DATA_AXIS,
+    axis_name: str = DATA_AXIS, fsdp: bool = False,
 ):
     """Jit the production recognition train step over the mesh:
     batch sharded on the data axis, head kernel sharded on the class
-    axis, params/stats replicated. Donates the state (same in/out
-    layout, no resharding on the donation path).
+    axis, params/stats replicated (or FSDP-sharded with `fsdp=True` —
+    see rec_state_shardings). Donates the state (same in/out layout,
+    no resharding on the donation path).
 
     Returns (step, sharded_state).
     """
-    shardings = rec_state_shardings(state, mesh, axis_name)
+    shardings = rec_state_shardings(state, mesh, axis_name, fsdp=fsdp)
     bsh = batch_sharding(mesh, axis_name)
     rep = replicate(mesh)
     base = make_train_step(model, head).__wrapped__  # un-jitted body
@@ -130,13 +149,13 @@ def make_sharded_train_step(
 
 def make_sharded_train_step_aug(
     model, head, state: RecTrainState, mesh: Mesh,
-    axis_name: str = DATA_AXIS,
+    axis_name: str = DATA_AXIS, fsdp: bool = False,
 ):
     """Sharded twin of make_train_step_aug: every FaceAugmentPlan leaf
     is batch-leading, so the whole in-graph augmentation (crop mask,
     cv2-resample matmuls, photometric, flip, normalize) partitions
     under the same batch sharding as the images."""
-    shardings = rec_state_shardings(state, mesh, axis_name)
+    shardings = rec_state_shardings(state, mesh, axis_name, fsdp=fsdp)
     bsh = batch_sharding(mesh, axis_name)
     rep = replicate(mesh)
     base = make_train_step_aug(model, head).__wrapped__

@@ -68,7 +68,13 @@ class BatchingDetector:
                 f"server with --batch-size {aot_batch}"
             )
         mesh = getattr(backend, "mesh", None)
-        if mesh is not None and self.batch_size % mesh.size:
+        # Only the data partition shards the batch axis (spatial shards
+        # height and takes any batch size, including 1).
+        if (
+            mesh is not None
+            and getattr(backend, "partition", "data") == "data"
+            and self.batch_size % mesh.size
+        ):
             raise ValueError(
                 f"batch size {self.batch_size} must divide the serving "
                 f"mesh size {mesh.size}"

@@ -420,7 +420,15 @@ def fit(
                 freeze_backbone=freeze,
             )
             state = state.replace(tx=tx, opt_state=tx.init(state.params))
-        state = M.replicate_tree(state, mesh)
+        if train_cfg.fsdp and mesh.size > 1:
+            # ZeRO-style placement: large params + Adam moments shard
+            # over the data mesh (parallel/fsdp.py) — same train step,
+            # GSPMD inserts the weight gathers / grad reduce-scatters.
+            from jabd_tpu.parallel import fsdp as F
+
+            state = F.shard_tree(state, mesh)
+        else:
+            state = M.replicate_tree(state, mesh)
 
         for epoch in range(first, last):
             t0 = time.time()
