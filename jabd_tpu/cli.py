@@ -86,6 +86,14 @@ def _load_predictor(args):
     from jabd_tpu import configs
     from jabd_tpu.predict import Predictor
 
+    # Flag validation BEFORE the (expensive) model build.
+    if getattr(args, "spatial", False) and getattr(
+        args, "data_parallel", False
+    ):
+        raise SystemExit(
+            "--spatial and --data-parallel are mutually exclusive "
+            "(one mesh axis: pick batch- or height-sharding)"
+        )
     mcfg = _get_config(args.model)
     variables = _load_variables(args, mcfg, args.input_size)
     pcfg = configs.PredictConfig(
@@ -96,11 +104,6 @@ def _load_predictor(args):
     mesh = None
     partition = "data"
     if getattr(args, "spatial", False):
-        if getattr(args, "data_parallel", False):
-            raise SystemExit(
-                "--spatial and --data-parallel are mutually exclusive "
-                "(one mesh axis: pick batch- or height-sharding)"
-            )
         # Spatial partitioning: every chip cooperates on every image
         # (height axis sharded, conv halos over ICI) — the latency mode.
         from jabd_tpu.parallel.mesh import make_mesh

@@ -140,6 +140,14 @@ def cmd_train(args):
 
     import jax.numpy as jnp
 
+    # Flag validation BEFORE the (expensive) model/state build.
+    if getattr(args, "fsdp", False) and not getattr(
+        args, "shard_head", False
+    ):
+        raise SystemExit(
+            "--fsdp requires --shard-head (the FSDP placement rides the "
+            "same sharded-step jit; plain DP stays replicated)"
+        )
     ds = ImageFolderDataset(args.data_root)
     model = build_model(
         args.arch,
@@ -196,11 +204,6 @@ def cmd_train(args):
             f"{mesh.devices.size} devices"
             + (" + fsdp backbone" if getattr(args, "fsdp", False) else ""),
             file=sys.stderr,
-        )
-    elif getattr(args, "fsdp", False):
-        raise SystemExit(
-            "--fsdp requires --shard-head (the FSDP placement rides the "
-            "same sharded-step jit; plain DP stays replicated)"
         )
     elif args.device_augment:
         step = RT.make_train_step_aug(
