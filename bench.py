@@ -1,6 +1,6 @@
 """Benchmark: the BASELINE tracked perf surface on one chip.
 
-Prints ONE JSON line. The driver-facing schema stays the headline:
+Driver-facing schema (the headline line):
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 with an "extras" array carrying the other BASELINE tracked configs
 (VERDICT r3 weak #5: they used to exist only as BENCH_NOTES prose):
@@ -13,9 +13,18 @@ with an "extras" array carrying the other BASELINE tracked configs
 (The fifth tracked config — single-image CPU parity — is a correctness
 property, pinned by tests/test_torch_parity*.py, not a rate.)
 
-Each extra is budget- and failure-guarded: the headline line always
-prints. Headline methodology unchanged since round 2 (chained fori_loop,
-inputs as arguments, biased class heads for production score sparsity).
+Crash/timeout discipline (VERDICT r4 #1 — round 4's artifact was a
+rc=124 with NO output because the single JSON line printed only after
+all extras): the headline line now prints AND flushes the moment the
+headline is measured; each extra appended to the combined line records
+its own wall time `t_s`; extras past the start budget (default 420 s,
+env JABD_BENCH_BUDGET_S) print as {"skipped": "budget"}; a watchdog
+thread hard-prints the most complete line and exits 0 at a hard
+deadline (default 540 s, env JABD_BENCH_HARD_S) even if the main
+thread is parked inside a remote compile; SIGTERM does the same. The
+final combined line is printed last, so a last-JSON-line parser sees
+headline+extras and a first-JSON-line parser sees the plain headline —
+both valid under the driver schema.
 
 vs_baseline: BASELINE.json publishes no reference number ("published":
 {}); the target is ">= 5x the 2080 Ti images/sec". The reference harness
@@ -30,12 +39,75 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 REFERENCE_2080TI_IMG_PER_SEC = 55.0
 TARGET_MULTIPLIER = 5.0
 _T0 = time.time()
+
+# Most complete result line so far; the watchdog/SIGTERM paths print it.
+_CURRENT = {"line": None, "done": False}
+
+
+def _provisional_line() -> str:
+    return json.dumps(
+        {
+            "metric": "images_per_sec_640_flagship_e2e",
+            "value": 0.0,
+            "unit": "img/s/chip",
+            "vs_baseline": 0.0,
+            "error": "headline not yet measured at "
+            f"t={time.time() - _T0:.0f}s (tunnel/compile stall); a later "
+            "line supersedes this one if the run got to finish",
+        }
+    )
+
+
+def _emit_current_and_exit(code: int = 0) -> None:
+    print(_CURRENT["line"] or _provisional_line(), flush=True)
+    os._exit(code)
+
+
+def _install_guards() -> None:
+    """Guarantee a JSON line under driver kills and hard stalls.
+
+    Python signal handlers only run between bytecodes — a main thread
+    parked inside a remote XLA compile won't see SIGTERM for minutes —
+    so a daemon watchdog thread enforces a hard wall-clock deadline
+    independently of what the main thread is doing.
+
+    At the deadline: if the headline exists, print the most complete
+    line and exit (the driver window is about to close; extras are
+    expendable). If it does NOT yet exist (a tunnel-weather headline —
+    527 s observed in a contended window), print a provisional
+    error-marked line so a hard kill still leaves parseable output,
+    but keep running up to a grace factor: a late real headline then
+    supersedes the provisional one for last-JSON-line parsers."""
+    deadline = float(os.environ.get("JABD_BENCH_HARD_S", "540"))
+
+    def watchdog() -> None:
+        warned = False
+        while not _CURRENT["done"]:
+            time.sleep(2)
+            el = time.time() - _T0
+            if el <= deadline:
+                continue
+            if _CURRENT["line"]:
+                _emit_current_and_exit(0)
+            elif not warned:
+                print(_provisional_line(), flush=True)
+                warned = True
+            elif el > 2.0 * deadline:
+                os._exit(0)  # provisional line already printed
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    try:
+        signal.signal(signal.SIGTERM, lambda *_: _emit_current_and_exit(0))
+    except ValueError:
+        pass  # non-main thread (not expected; belt and braces)
 
 
 def _detector_ips(
@@ -149,30 +221,58 @@ def main(size: int = 640, batch: int = 0) -> None:
         "vs_baseline": round(
             ips / (TARGET_MULTIPLIER * REFERENCE_2080TI_IMG_PER_SEC), 3
         ),
+        "t_headline_s": round(time.time() - _T0, 1),
     }
+    # Flush the headline the moment it exists — a driver kill during
+    # the extras must never erase the round's number again (r4 did).
+    print(json.dumps(out), flush=True)
+    _CURRENT["line"] = json.dumps(out)
     if custom:
-        print(json.dumps(out))
+        _CURRENT["done"] = True
         return
 
     # The other tracked configs, inside a wall-clock budget so a slow
-    # compile day can never starve the headline.
-    budget_s = float(os.environ.get("JABD_BENCH_BUDGET_S", "2400"))
+    # compile day can never starve the driver window (~10 min). 420 s:
+    # the warm-cache headline measured 255 s wall (backend init + 20
+    # chained iters through the tunnel), warm extras ~30-50 s each; the
+    # 540 s watchdog hard-stop still bounds a cold-compile extra.
+    budget_s = float(os.environ.get("JABD_BENCH_BUDGET_S", "420"))
     on_tpu = jax.default_backend() == "tpu"
     extras = []
+
+    def _update_line():
+        out["extras"] = extras
+        out["t_total_s"] = round(time.time() - _T0, 1)
+        _CURRENT["line"] = json.dumps(out)
 
     def guarded(metric, unit, fn):
         if time.time() - _T0 > budget_s:
             extras.append({"metric": metric, "skipped": "budget"})
+            _update_line()
             return None
+        t0 = time.time()
         try:
             v = fn()
             extras.append(
-                {"metric": metric, "value": round(v, 2), "unit": unit}
+                {
+                    "metric": metric,
+                    "value": round(v, 2),
+                    "unit": unit,
+                    "t_s": round(time.time() - t0, 1),
+                }
             )
             return v
         except Exception as e:  # noqa: BLE001 — keep the headline alive
-            extras.append({"metric": metric, "error": str(e)[:160]})
+            extras.append(
+                {
+                    "metric": metric,
+                    "error": str(e)[:160],
+                    "t_s": round(time.time() - t0, 1),
+                }
+            )
             return None
+        finally:
+            _update_line()
 
     eval_bs = 32 if on_tpu else 2
     ips1280 = guarded(
@@ -215,22 +315,32 @@ def main(size: int = 640, batch: int = 0) -> None:
         ),
     )
     out["extras"] = extras
-    print(json.dumps(out))
+    out["t_total_s"] = round(time.time() - _T0, 1)
+    _CURRENT["line"] = json.dumps(out)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
+    _install_guards()
     try:
         main(*(int(a) for a in sys.argv[1:]))
+        _CURRENT["done"] = True
     except Exception as e:  # never leave the driver without a JSON line
-        print(
-            json.dumps(
-                {
-                    "metric": "images_per_sec_640_flagship_e2e",
-                    "value": 0.0,
-                    "unit": "img/s/chip",
-                    "vs_baseline": 0.0,
-                    "error": str(e)[:200],
-                }
+        _CURRENT["done"] = True
+        if _CURRENT["line"]:
+            # Headline already measured and printed; keep it authoritative.
+            print(_CURRENT["line"], flush=True)
+        else:
+            print(
+                json.dumps(
+                    {
+                        "metric": "images_per_sec_640_flagship_e2e",
+                        "value": 0.0,
+                        "unit": "img/s/chip",
+                        "vs_baseline": 0.0,
+                        "error": str(e)[:200],
+                    }
+                ),
+                flush=True,
             )
-        )
         sys.exit(0)
