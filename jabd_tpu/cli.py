@@ -509,16 +509,38 @@ def cmd_count(args):
     )
     n = count_params(variables["params"])
     fl = flops_of(lambda v, i: model.apply(v, i, train=False), variables, x)
-    print(
-        json.dumps(
-            {
-                "model": args.model,
-                "params_m": round(n / 1e6, 4),
-                "gflops": round(fl / 1e9, 4),
-                "input": args.size,
-            }
+    out = {
+        "model": args.model,
+        "params_m": round(n / 1e6, 4),
+        "gflops": round(fl / 1e9, 4),
+        "input": args.size,
+    }
+    if getattr(args, "per_layer", False):
+        from jabd_tpu.utils.profiling import (
+            per_layer_table,
+            per_layer_table_subprocess,
         )
-    )
+
+        if jax.default_backend() == "cpu":
+            rows = per_layer_table(model, x, total_params=n, total_flops=fl)
+        else:
+            # per-module FLOPs come from the uncompiled lowering, which
+            # only the CPU backend populates — compute the table in a
+            # CPU-forced child (logical FLOPs are backend-independent)
+            rows = per_layer_table_subprocess(
+                args.model, args.size, total_params=n, total_flops=fl
+            )
+        out["per_layer"] = rows
+        # human-readable table alongside the JSON (the reference prints
+        # fvcore's flop_count_table, count_param.py:388-395)
+        w = max(len(r["module"]) for r in rows) + 2
+        print(f"{'module'.ljust(w)}{'params':>12}  {'gflops':>10}")
+        for r in rows:
+            print(
+                f"{r['module'].ljust(w)}{r['params']:>12,}  "
+                f"{r['gflops']:>10.4f}"
+            )
+    print(json.dumps(out))
 
 
 def _quantize_for_map_txt(args, pred):
@@ -834,6 +856,12 @@ def main(argv=None):
     sp = sub.add_parser("count")
     sp.add_argument("--model", default="jabd_flagship")
     sp.add_argument("--size", type=int, default=640)
+    sp.add_argument(
+        "--per-layer",
+        action="store_true",
+        help="additionally print a per-module params/GFLOPs table "
+        "(count_param.py:388-395's flop_count_table role)",
+    )
     sp.set_defaults(fn=cmd_count)
 
     sp = sub.add_parser("map-txt")

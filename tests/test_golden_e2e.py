@@ -1,0 +1,167 @@
+"""Golden end-to-end regression fixture (VERDICT r4 #5).
+
+A tiny TRAINED retinaface_mnet025 checkpoint (64^2, committed as
+tests/fixtures/golden_e2e/ckpt_mnet025_96.npz) runs the production CPU
+inference path — letterbox -> preprocess -> forward -> decode -> NMS ->
+correct_boxes — on 3 committed lossless PNGs, and the detections plus
+the WIDER-protocol AP are pinned against committed goldens. Every
+numeric claim elsewhere is re-derived per round and tunnel-weather
+sensitive; this test pins decode/NMS/AP drift the moment it happens,
+in-suite, <30 s, no TPU.
+
+Regenerate (only after an INTENDED behavior change) with
+`python scripts/make_golden_fixture.py` and commit the diff with the
+reason.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "golden_e2e"
+)
+
+
+def dump_and_eval(golden: dict, evaluate_wider, tmp_root: str = None):
+    """Shared by the generator script and the test: dump the golden
+    detections in map-txt format, build the .mat GT tree, and run the
+    WIDER evaluator. Deterministic given `golden`."""
+    import tempfile
+
+    from tests.test_eval import _fake_gt_dir
+
+    root = tmp_root or tempfile.mkdtemp(prefix="golden_e2e_")
+    event = "0--Golden"
+    pred_dir = os.path.join(root, "preds")
+    gt_events = {event: {}}
+    for key in sorted(golden):
+        if not key.startswith("dets_"):
+            continue
+        stem = key[len("dets_"):]
+        d = np.asarray(golden[key])
+        rows = (
+            np.stack(
+                [
+                    d[:, 0],
+                    d[:, 1],
+                    d[:, 2] - d[:, 0],
+                    d[:, 3] - d[:, 1],
+                    d[:, 4],
+                ],
+                axis=1,
+            )
+            if len(d)
+            else np.zeros((0, 5), np.float32)
+        )
+        rows = rows[np.argsort(-rows[:, 4], kind="stable")]
+        ed = os.path.join(pred_dir, event)
+        os.makedirs(ed, exist_ok=True)
+        with open(os.path.join(ed, stem + ".txt"), "w") as f:
+            f.write(f"{event}/{stem}.jpg\n{len(rows)}\n")
+            for r in rows:
+                f.write(
+                    f"{r[0]:.3f} {r[1]:.3f} {r[2]:.3f} {r[3]:.3f} "
+                    f"{r[4]:.5f}\n"
+                )
+        gt_events[event][stem] = np.asarray(golden[f"gt_{stem}"]).tolist()
+
+    class _P:  # pathlib-lite for _fake_gt_dir
+        def __init__(self, p):
+            self.p = p
+
+        def __truediv__(self, other):
+            return os.path.join(self.p, other)
+
+        def __str__(self):
+            return self.p
+
+    gt_root = os.path.join(root, "gt")
+    os.makedirs(gt_root, exist_ok=True)
+    gt_dir = str(_fake_gt_dir(_P(gt_root), gt_events))
+    return evaluate_wider(pred_dir, gt_dir, iou_thresh=0.4)
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    if not os.path.exists(
+        os.path.join(FIXTURE_DIR, "ckpt_mnet025_96.npz")
+    ):
+        pytest.skip("golden fixture not generated")
+    return dict(
+        np.load(os.path.join(FIXTURE_DIR, "golden.npz"), allow_pickle=False)
+    )
+
+
+def test_golden_detections_and_ap_stable(fixture):
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from jabd_tpu import configs
+    from jabd_tpu.eval import evaluate_wider
+    from jabd_tpu.models import build_model
+    from jabd_tpu.predict import Predictor
+
+    from jabd_tpu.utils.np_ckpt import load_variables_npz
+
+    mcfg = dataclasses.replace(
+        configs.get_model_config("retinaface_mnet025"),
+        compute_dtype="float32",
+    )
+    model = build_model(mcfg, mode="eval")
+    template = jax.eval_shape(
+        lambda r, x: model.init(r, x, train=False),
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 96, 96, 3), jnp.float32),
+    )
+    variables = load_variables_npz(
+        os.path.join(FIXTURE_DIR, "ckpt_mnet025_96.npz"), template
+    )
+    pcfg = configs.PredictConfig(
+        confidence=0.5,
+        nms_iou=0.3,
+        input_shape=(96, 96),
+        max_detections=32,
+        pre_nms_topk=64,
+    )
+    pred = Predictor(mcfg, variables, pcfg, use_pallas=False, fold_bn=False)
+
+    fresh = {}
+    for key in sorted(fixture):
+        if not key.startswith("dets_"):
+            continue
+        stem = key[len("dets_"):]
+        img = cv2.imread(
+            os.path.join(FIXTURE_DIR, "images", stem + ".png")
+        )
+        assert img is not None, stem
+        d = np.asarray(pred.detect_image(img.astype(np.float32)))
+        g = np.asarray(fixture[key])
+        # keep-set count is EXACT; geometry/scores within a cross-host
+        # f32 codegen budget (different hosts may fuse/reorder float
+        # math differently; the trained detector's scores sit far from
+        # the 0.5 gate so counts can't flip)
+        assert len(d) == len(g), (stem, len(d), len(g))
+        order_d = np.argsort(-d[:, 4], kind="stable")
+        order_g = np.argsort(-g[:, 4], kind="stable")
+        np.testing.assert_allclose(
+            d[order_d, :4], g[order_g, :4], atol=2e-2, rtol=0
+        )
+        np.testing.assert_allclose(
+            d[order_d, 4], g[order_g, 4], atol=1e-3, rtol=0
+        )
+        fresh[key] = d
+        fresh[f"gt_{stem}"] = fixture[f"gt_{stem}"]
+
+    aps = dump_and_eval(fresh, evaluate_wider)
+    golden_aps = np.asarray(fixture["aps"])
+    np.testing.assert_allclose(
+        [aps["easy"], aps["medium"], aps["hard"]],
+        golden_aps,
+        atol=1e-6,
+        rtol=0,
+    )
+    assert all(0.0 < v <= 1.0 for v in aps.values()), aps
