@@ -73,6 +73,56 @@ def test_two_process_mesh_grad_psum():
     assert fps[0] == fps[1], fps
 
 
+@pytest.mark.slow
+def test_two_process_four_device_fsdp_step():
+    """2 processes x 4 devices = one 8-device global mesh (VERDICT r4
+    ask #8): one step of the production train step under FSDP/ZeRO
+    placement where addressable shards != global shards. The worker
+    asserts 1/8 shards with only 4/8 addressable per process, sharding
+    surviving the donated update, and loss + per-leaf param
+    fingerprints equal to a single-device reference."""
+    worker = os.path.join(
+        os.path.dirname(__file__), "_multihost_fsdp_worker.py"
+    )
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            # Two train-step compiles per process (8-device SPMD + the
+            # single-device reference) on one shared CPU core.
+            out, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    import re
+
+    losses = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        m = re.search(rf"proc{i} fsdp2x4 loss=([0-9.]+) OK", out)
+        assert m, f"proc{i} fsdp line missing:\n{out}"
+        losses.append(m.group(1))
+    # same global program, same data: bit-identical printed loss
+    assert losses[0] == losses[1], losses
+
+
 def test_single_process_call_is_noop():
     # Must not try to spin up a coordinator (and must not swallow real
     # errors — covered by the negative test below).
