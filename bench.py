@@ -250,12 +250,24 @@ def main(size: int = 640, batch: int = 0) -> None:
             extras.append({"metric": metric, "skipped": "budget"})
             _update_line()
             return None
+        # Record the extra as in-flight BEFORE running it: if the 540 s
+        # watchdog fires mid-extra (observed: a cold train-step compile
+        # took the run past the deadline), the emitted line then shows
+        # WHICH extra was cut instead of silently omitting it.
+        rec = {
+            "metric": metric,
+            "in_flight": True,
+            "t_start_s": round(time.time() - _T0, 1),
+        }
+        extras.append(rec)
+        _update_line()
         t0 = time.time()
         try:
             v = fn()
-            extras.append(
+            rec.pop("in_flight", None)
+            rec.pop("t_start_s", None)
+            rec.update(
                 {
-                    "metric": metric,
                     "value": round(v, 2),
                     "unit": unit,
                     "t_s": round(time.time() - t0, 1),
@@ -263,12 +275,9 @@ def main(size: int = 640, batch: int = 0) -> None:
             )
             return v
         except Exception as e:  # noqa: BLE001 — keep the headline alive
-            extras.append(
-                {
-                    "metric": metric,
-                    "error": str(e)[:160],
-                    "t_s": round(time.time() - t0, 1),
-                }
+            rec.pop("in_flight", None)
+            rec.update(
+                {"error": str(e)[:160], "t_s": round(time.time() - t0, 1)}
             )
             return None
         finally:
