@@ -49,13 +49,16 @@ TARGET_MULTIPLIER = 5.0
 _T0 = time.time()
 
 # Most complete result line so far; the watchdog/SIGTERM paths print it.
-_CURRENT = {"line": None, "done": False}
+# "metric" tracks the ACTUAL headline config (custom `bench.py 1280 32`
+# runs must not mislabel a provisional 0.0 against the 640 history).
+_CURRENT = {"line": None, "done": False,
+            "metric": "images_per_sec_640_flagship_e2e"}
 
 
 def _provisional_line() -> str:
     return json.dumps(
         {
-            "metric": "images_per_sec_640_flagship_e2e",
+            "metric": _CURRENT["metric"],
             "value": 0.0,
             "unit": "img/s/chip",
             "vs_baseline": 0.0,
@@ -66,8 +69,20 @@ def _provisional_line() -> str:
     )
 
 
+_EMIT_LOCK = threading.Lock()
+
+
+def _print_line(s: str) -> None:
+    """All JSON-line emission goes through one lock: a watchdog firing
+    while the main thread prints must not interleave two lines into one
+    malformed final record (print() issues separate write syscalls for
+    the string and the newline)."""
+    with _EMIT_LOCK:
+        print(s, flush=True)
+
+
 def _emit_current_and_exit(code: int = 0) -> None:
-    print(_CURRENT["line"] or _provisional_line(), flush=True)
+    _print_line(_CURRENT["line"] or _provisional_line())
     os._exit(code)
 
 
@@ -98,7 +113,7 @@ def _install_guards() -> None:
             if _CURRENT["line"]:
                 _emit_current_and_exit(0)
             elif not warned:
-                print(_provisional_line(), flush=True)
+                _print_line(_provisional_line())
                 warned = True
             elif el > 2.0 * deadline:
                 os._exit(0)  # provisional line already printed
@@ -212,6 +227,7 @@ def main(size: int = 640, batch: int = 0) -> None:
     import jax
 
     custom = batch != 0 or size != 640
+    _CURRENT["metric"] = f"images_per_sec_{size}_flagship_e2e"
     batch = batch or (128 if jax.default_backend() == "tpu" else 2)
     ips = _detector_ips("jabd_flagship", size, batch)
     out = {
@@ -223,10 +239,13 @@ def main(size: int = 640, batch: int = 0) -> None:
         ),
         "t_headline_s": round(time.time() - _T0, 1),
     }
-    # Flush the headline the moment it exists — a driver kill during
-    # the extras must never erase the round's number again (r4 did).
-    print(json.dumps(out), flush=True)
+    # Record BEFORE printing: a watchdog/SIGTERM firing between the two
+    # statements must see the measured headline, not emit a provisional
+    # 0.0 as the final JSON line. Then flush the headline the moment it
+    # exists — a driver kill during the extras must never erase the
+    # round's number again (r4 did).
     _CURRENT["line"] = json.dumps(out)
+    _print_line(json.dumps(out))
     if custom:
         _CURRENT["done"] = True
         return
@@ -326,7 +345,7 @@ def main(size: int = 640, batch: int = 0) -> None:
     out["extras"] = extras
     out["t_total_s"] = round(time.time() - _T0, 1)
     _CURRENT["line"] = json.dumps(out)
-    print(json.dumps(out), flush=True)
+    _print_line(json.dumps(out))
 
 
 if __name__ == "__main__":
@@ -338,7 +357,7 @@ if __name__ == "__main__":
         _CURRENT["done"] = True
         if _CURRENT["line"]:
             # Headline already measured and printed; keep it authoritative.
-            print(_CURRENT["line"], flush=True)
+            _print_line(_CURRENT["line"])
         else:
             print(
                 json.dumps(

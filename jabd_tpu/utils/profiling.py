@@ -123,8 +123,15 @@ def per_layer_table_subprocess(
     independent, so a CPU child gives the right table for any backend
     (and lowering without compiling is fast even for ResNet-152)."""
     import json as _json
+    import math
     import subprocess
     import sys
+
+    # repr() of a non-finite float would emit the bare names `nan`/`inf`
+    # into the child source (NameError) — and flops_of's documented
+    # no-data fallback IS nan on remote backends. Non-finite == unknown.
+    if total_flops is not None and not math.isfinite(total_flops):
+        total_flops = None
 
     code = (
         "import os, json\n"
@@ -152,8 +159,13 @@ def per_layer_table_subprocess(
         cwd=os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)
         ))),
-        check=True,
     )
+    if out.returncode != 0:
+        # check=True would swallow the child's traceback; surface it.
+        raise RuntimeError(
+            f"per-layer child failed (rc={out.returncode}): "
+            + out.stderr.strip()[-500:]
+        )
     return _json.loads(out.stdout.strip().splitlines()[-1])
 
 

@@ -1,7 +1,7 @@
 """Generate the committed golden end-to-end regression fixture
 (VERDICT r4 #5).
 
-Trains a TINY retinaface_mnet025 checkpoint at 64^2 on synthetic
+Trains a TINY retinaface_mnet025 checkpoint at 96^2 on synthetic
 bright-square "faces" (CPU-forced, seed-pinned), writes:
 
   tests/fixtures/golden_e2e/ckpt_mnet025_96.npz   — f16 params +
@@ -51,7 +51,7 @@ SIZE, BS, G, STEPS, SEED = 96, 8, 4, 700, 0
 
 def make_batch(rng, n):
     """Textured canvas with 1-2 bright squares as 'faces' (the
-    overfit_sanity recipe at 64^2)."""
+    overfit_sanity recipe at SIZE=96)."""
     imgs = np.full((n, SIZE, SIZE, 3), 30.0, np.float32)
     imgs += rng.uniform(0, 12, (n, SIZE, SIZE, 3)).astype(np.float32)
     boxes = np.zeros((n, G, 4), np.float32)
@@ -79,9 +79,9 @@ def fixture_images(rng):
         img = img + rng.integers(0, 12, (h, w, 3)).astype(np.uint8)
         boxes = []
         for j in range(2 + i % 2):
-            # faces >= 24 src px: after the worst letterbox (128 -> 64,
-            # scale 0.5) they stay >= 12 input px — inside the training
-            # distribution (16-40 px at 64^2) and the anchor coverage
+            # faces >= 24 src px: after the worst letterbox (128 -> 96,
+            # scale 0.75) they stay >= 18 input px — inside the training
+            # distribution (16-40 px at 96^2) and the anchor coverage
             s = int(rng.integers(24, max(25, min(h, w) // 2)))
             x = int(rng.integers(0, w - s))
             y = int(rng.integers(0, h - s))

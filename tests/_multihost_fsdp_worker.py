@@ -28,6 +28,12 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from jabd_tpu.parallel import mesh as M  # noqa: E402
+from jabd_tpu.utils import compile_cache  # noqa: E402
+
+# Same rationale as tests/conftest.py: two processes each compile the
+# 8-device SPMD step + a single-device reference on ONE shared core —
+# the persistent cache turns re-runs from minutes into seconds.
+compile_cache.enable(allow_cpu=True)
 
 
 def main():

@@ -1,6 +1,6 @@
 """Golden end-to-end regression fixture (VERDICT r4 #5).
 
-A tiny TRAINED retinaface_mnet025 checkpoint (64^2, committed as
+A tiny TRAINED retinaface_mnet025 checkpoint (96^2, committed as
 tests/fixtures/golden_e2e/ckpt_mnet025_96.npz) runs the production CPU
 inference path — letterbox -> preprocess -> forward -> decode -> NMS ->
 correct_boxes — on 3 committed lossless PNGs, and the detections plus
@@ -28,12 +28,24 @@ FIXTURE_DIR = os.path.join(
 def dump_and_eval(golden: dict, evaluate_wider, tmp_root: str = None):
     """Shared by the generator script and the test: dump the golden
     detections in map-txt format, build the .mat GT tree, and run the
-    WIDER evaluator. Deterministic given `golden`."""
+    WIDER evaluator. Deterministic given `golden`. A self-created temp
+    dir (tmp_root=None) is removed on return — repeated suite runs must
+    not accumulate orphaned /tmp trees."""
+    import shutil
     import tempfile
 
     from tests.test_eval import _fake_gt_dir
 
+    own = tmp_root is None
     root = tmp_root or tempfile.mkdtemp(prefix="golden_e2e_")
+    try:
+        return _dump_and_eval_in(root, golden, evaluate_wider, _fake_gt_dir)
+    finally:
+        if own:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def _dump_and_eval_in(root, golden, evaluate_wider, _fake_gt_dir):
     event = "0--Golden"
     pred_dir = os.path.join(root, "preds")
     gt_events = {event: {}}
@@ -86,10 +98,11 @@ def dump_and_eval(golden: dict, evaluate_wider, tmp_root: str = None):
 
 @pytest.fixture(scope="module")
 def fixture():
-    if not os.path.exists(
-        os.path.join(FIXTURE_DIR, "ckpt_mnet025_96.npz")
-    ):
-        pytest.skip("golden fixture not generated")
+    # both files the test loads must exist for a graceful skip (a
+    # partially generated fixture dir must not turn into a hard ERROR)
+    for name in ("ckpt_mnet025_96.npz", "golden.npz"):
+        if not os.path.exists(os.path.join(FIXTURE_DIR, name)):
+            pytest.skip(f"golden fixture not generated ({name})")
     return dict(
         np.load(os.path.join(FIXTURE_DIR, "golden.npz"), allow_pickle=False)
     )
@@ -158,10 +171,14 @@ def test_golden_detections_and_ap_stable(fixture):
 
     aps = dump_and_eval(fresh, evaluate_wider)
     golden_aps = np.asarray(fixture["aps"])
+    # AP tolerance must be consistent with the score budget above: a
+    # 1e-3 score drift can flip one of the evaluator's 1000 norm-score
+    # bins, moving AP O(1e-3) — while a real protocol/decode defect
+    # moves it O(0.1). Same-host runs reproduce exactly.
     np.testing.assert_allclose(
         [aps["easy"], aps["medium"], aps["hard"]],
         golden_aps,
-        atol=1e-6,
+        atol=5e-3,
         rtol=0,
     )
     assert all(0.0 < v <= 1.0 for v in aps.values()), aps
