@@ -28,12 +28,6 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from jabd_tpu.parallel import mesh as M  # noqa: E402
-from jabd_tpu.utils import compile_cache  # noqa: E402
-
-# Same rationale as tests/conftest.py: two processes each compile the
-# 8-device SPMD step + a single-device reference on ONE shared core —
-# the persistent cache turns re-runs from minutes into seconds.
-compile_cache.enable(allow_cpu=True)
 
 
 def main():
@@ -47,6 +41,15 @@ def main():
         num_processes=num_procs,
         process_id=proc_id,
     )
+    # Same rationale as tests/conftest.py: two processes each compile
+    # the 8-device SPMD step + a single-device reference on ONE shared
+    # core — the persistent cache turns re-runs from minutes into
+    # seconds. Must come AFTER init_distributed: enable() touches
+    # jax.default_backend(), which initializes the XLA backend, and
+    # jax.distributed.initialize refuses to run after that.
+    from jabd_tpu.utils import compile_cache
+
+    compile_cache.enable(allow_cpu=True)
     n_local = 4
     n_global = num_procs * n_local
     assert jax.process_count() == num_procs, jax.process_count()
