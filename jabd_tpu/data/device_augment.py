@@ -333,7 +333,6 @@ def device_train_loader(
     samples exactly like the host loader."""
     import concurrent.futures as cf
 
-    order = np.random.default_rng(seed).permutation(len(dataset))
     pool = cf.ThreadPoolExecutor(max_workers=num_workers)
 
     def load_raw(idx):
@@ -353,37 +352,30 @@ def device_train_loader(
         return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
 
     def make(idx, raw, attempt=0):
-        rng = np.random.default_rng(
-            (seed * 1_000_003 + int(idx) * 7919 + attempt) & 0x7FFFFFFF
-        )
+        # wider.sample_rng: the SAME per-(sample, attempt) stream as the
+        # host loader — targets must stay byte-identical across loaders.
         return plan_sample(
-            raw, dataset.annos[int(idx)], dataset.input_size, rng,
-            bucket_hw, compact=compact,
+            raw, dataset.annos[int(idx)], dataset.input_size,
+            wider.sample_rng(seed, idx, attempt), bucket_hw,
+            compact=compact,
         )
 
     try:
-        cursor = 0
-        while cursor + batch_size <= len(order) or (
-            not drop_last and cursor < len(order)
+        for idxs in wider.epoch_batches(
+            len(dataset), batch_size, seed, drop_last
         ):
-            idxs = order[cursor : cursor + batch_size]
-            cursor += batch_size
-            raws = list(pool.map(load_raw, idxs))
-            results = []
-            for idx, raw in zip(idxs, raws):
-                padded, parts, boxes = make(idx, raw)
-                attempt = 1
-                while len(boxes) == 0 and attempt < 8:
-                    padded, parts, boxes = make(idx, raw, attempt)
-                    attempt += 1
-                if len(boxes) > 0:
-                    results.append((padded, parts, boxes))
+            raws = dict(
+                zip(map(int, idxs), pool.map(load_raw, idxs))
+            )
+            results = wider.backfill_batch(
+                idxs,
+                [make(idx, raws[int(idx)]) for idx in idxs],
+                lambda idx, attempt: make(idx, raws[int(idx)], attempt),
+                lambda r: len(r[2]) == 0,
+                batch_size,
+            )
             if not results:
                 continue
-            n_live = len(results)
-            while len(results) < batch_size:
-                # Round-robin over the surviving samples.
-                results.append(results[(len(results) - n_live) % n_live])
             images = np.stack([r[0] for r in results])
             plan = stack_plans(
                 [r[1] for r in results],

@@ -268,6 +268,51 @@ def batch_targets(
     return boxes, labels, landms, valid
 
 
+def sample_rng(seed: int, idx: int, attempt: int = 0) -> np.random.Generator:
+    """The per-(sample, attempt) augmentation RNG stream. ONE formula
+    shared by the host loader and the device-augment loader — their
+    targets must stay byte-identical, so the stream may never fork."""
+    return np.random.default_rng(
+        (seed * 1_000_003 + int(idx) * 7919 + attempt) & 0x7FFFFFFF
+    )
+
+
+def epoch_batches(
+    n: int, batch_size: int, seed: int, drop_last: bool = True
+) -> Iterator[np.ndarray]:
+    """Shuffled index batches for one epoch — the DataLoader
+    shuffle+drop_last skeleton (train_mobilenetV3_ecagai.py:568-569),
+    shared by both loaders."""
+    order = np.random.default_rng(seed).permutation(n)
+    cursor = 0
+    while cursor + batch_size <= n or (not drop_last and cursor < n):
+        yield order[cursor : cursor + batch_size]
+        cursor += batch_size
+
+
+def backfill_batch(idxs, results, refetch, is_empty, batch_size: int):
+    """detection_collate's empty handling (utils/dataloader.py:177-186)
+    + the static-shape completion both loaders need: re-draw samples
+    that lost every box (bounded attempts via refetch(idx, attempt)),
+    drop the still-empty, round-robin duplicate survivors up to the
+    full batch. Returns [] when nothing survived."""
+    out = []
+    for idx, res in zip(idxs, results):
+        attempt = 1
+        while is_empty(res) and attempt < 8:
+            res = refetch(idx, attempt)
+            attempt += 1
+        if not is_empty(res):
+            out.append(res)
+    if not out:
+        return []
+    n_live = len(out)
+    while len(out) < batch_size:
+        # Round-robin over the surviving samples.
+        out.append(out[(len(out) - n_live) % n_live])
+    return out
+
+
 def train_loader(
     dataset: WiderFaceDataset,
     batch_size: int,
@@ -282,37 +327,24 @@ def train_loader(
     (train_mobilenetV3_ecagai.py:568-569); images that lose all boxes to
     augmentation are dropped like detection_collate (:177-186) and
     backfilled to keep the batch full (static shape for jit)."""
-    order = np.random.default_rng(seed).permutation(len(dataset))
     pool = cf.ThreadPoolExecutor(max_workers=num_workers)
     try:
-        cursor = 0
 
         def fetch(idx, attempt=0):
-            rng = np.random.default_rng(
-                (seed * 1_000_003 + idx * 7919 + attempt) & 0x7FFFFFFF
-            )
-            return dataset.get(int(idx), rng)
+            return dataset.get(int(idx), sample_rng(seed, idx, attempt))
 
-        while cursor + batch_size <= len(order) or (
-            not drop_last and cursor < len(order)
+        for idxs in epoch_batches(
+            len(dataset), batch_size, seed, drop_last
         ):
-            idxs = order[cursor : cursor + batch_size]
-            cursor += batch_size
-            results = list(pool.map(fetch, idxs))
-            # Backfill empties with re-augmented samples (bounded retries).
-            for i, (img, tgt) in enumerate(results):
-                attempt = 1
-                while len(tgt) == 0 and attempt < 8:
-                    img, tgt = fetch(idxs[i], attempt)
-                    attempt += 1
-                results[i] = (img, tgt)
-            results = [(im, t) for im, t in results if len(t) > 0]
+            results = backfill_batch(
+                idxs,
+                list(pool.map(fetch, idxs)),
+                fetch,
+                lambda r: len(r[1]) == 0,
+                batch_size,
+            )
             if not results:
                 continue
-            n_live = len(results)
-            while len(results) < batch_size:
-                # Round-robin over the surviving samples.
-                results.append(results[(len(results) - n_live) % n_live])
             images = np.stack([im for im, _ in results])
             tgts = batch_targets([t for _, t in results], max_targets)
             yield images, tgts

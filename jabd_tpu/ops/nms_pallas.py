@@ -30,6 +30,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+
+def _check_kind(kind: str) -> None:
+    """Static-arg guard: the kernel computes DIoU only for kind ==
+    'diou' and plain IoU otherwise, while the XLA twin raises on
+    unknown kinds — without this check a typo ('DIoU') silently ran
+    plain-IoU suppression on TPU but errored on CPU."""
+    if kind not in ("iou", "diou"):
+        raise ValueError(f"unknown nms kind: {kind!r} (iou|diou)")
+
 def _nms_kernel(cols_ref, keep_ref, *, k: int, iou_threshold: float,
                 kind: str, beta1: float):
     """One grid step = one image. cols_ref: [8, K] f32; keep_ref: [8, K] f32.
@@ -126,6 +135,7 @@ def nms_keep_sorted_pallas_batched(
     batched inference pipeline); a grid amortizes it to one launch.
     Returns [B, K] bool keep masks.
     """
+    _check_kind(kind)
     bsz, k = boxes.shape[0], boxes.shape[1]
     kp = _round_up(max(k, _LANES), _LANES)
     cols = _build_cols(boxes, valid, kp)  # [B, 8, kp]
@@ -171,6 +181,7 @@ def nms_keep_sorted_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas twin of nms.nms_keep_sorted — identical keep set."""
+    _check_kind(kind)
     k = boxes.shape[0]
     kp = _round_up(max(k, _LANES), _LANES)
     cols = _build_cols(boxes, valid, kp)  # [8, kp]

@@ -221,7 +221,7 @@ class Predictor:
         self.use_pallas = (
             _use_pallas_default() if use_pallas is None else use_pallas
         )
-        self._apply = functools.partial(self._apply_fn)
+        self._apply = self._apply_fn  # bound method: stable jit static key
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         if partition not in ("data", "spatial"):
             raise ValueError(
@@ -266,9 +266,13 @@ class Predictor:
         from jabd_tpu.ops.image import preprocess_input_np
 
         th, tw = self.pcfg.input_shape
+        # EXACTLY the serving recipe (detect_image/get_fps): letterbox
+        # in the sample's native dtype, then float. A uint8 coercion
+        # here would truncate float samples (a [0,1]-normalized image
+        # becomes all-black) and calibrate on frames serving never sees.
         imgs = np.stack(
             [
-                I.letterbox_np(np.asarray(im, np.uint8), (tw, th))
+                I.letterbox_np(np.asarray(im), (tw, th)).astype(np.float32)
                 for im in sample_images
             ]
         )
@@ -572,12 +576,12 @@ class Predictor:
         xj = jnp.asarray(x)
         anchors = self._anchors_for((th, tw))
 
-        def run(imgs):
+        def run(imgs, variables=None, anc=None):
             return detect_batch(
                 self._apply,
-                self.variables,
+                self.variables if variables is None else variables,
                 imgs,
-                anchors,
+                anchors if anc is None else anc,
                 self.pcfg,
                 variances=self.mcfg.anchors.variance,
                 use_pallas=self.use_pallas,
@@ -586,7 +590,17 @@ class Predictor:
         if method == "chained":
             from jabd_tpu.utils.profiling import chained_benchmark
 
-            r = chained_benchmark(run, xj, iters=test_interval)
+            # Pass the params + anchors THROUGH the chained harness's
+            # input pytree (its documented contract): closed-over
+            # arrays embed as HLO constants, which both bloats the
+            # upload past the remote compiler's ~100 MB cap on the
+            # large presets (raw152: ~240 MB f32) and re-opens the
+            # constant-folding fantasy-timing trap (CLAUDE.md).
+            r = chained_benchmark(
+                lambda inp: run(inp[0], inp[1], inp[2]),
+                (xj, self.variables, anchors),
+                iters=test_interval,
+            )
             return 1.0 / r["per_iter_s"]
 
         out = run(xj)

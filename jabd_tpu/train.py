@@ -368,6 +368,15 @@ def fit(
         and checkpoint_manager.latest_step() is not None
     ):
         resumed_epoch = checkpoint_manager.latest_step()
+        # The checkpoint saved at step s was produced by epoch s-1, so
+        # it belongs to the FREEZE phase iff s-1 < freeze_epochs. A
+        # `resumed_epoch < freeze_epochs` test mislabels the checkpoint
+        # saved exactly AT the boundary (s == freeze_epochs, written by
+        # the last freeze epoch): the restore template would carry the
+        # plain-chain opt_state while the stored state is the freeze
+        # phase's multi_transform tree — a structure mismatch that
+        # killed auto-resume at that step.
+        resume_phase_freeze = (resumed_epoch - 1) < train_cfg.freeze_epochs
         template = create_train_state(
             jax.random.PRNGKey(train_cfg.seed),
             model_cfg,
@@ -375,10 +384,10 @@ def fit(
             steps_per_epoch,
             lr=(
                 train_cfg.lr_freeze
-                if resumed_epoch < train_cfg.freeze_epochs
+                if resume_phase_freeze
                 else train_cfg.lr_unfreeze
             ),
-            freeze_backbone=resumed_epoch < train_cfg.freeze_epochs,
+            freeze_backbone=resume_phase_freeze,
         )
         state = checkpoint_manager.restore(template)
         start_epoch = max(start_epoch, resumed_epoch)
@@ -386,6 +395,7 @@ def fit(
         print(f"resumed from checkpoint at epoch {resumed_epoch}")
     else:
         just_resumed = False
+        resume_phase_freeze = None
 
     phase_bounds = [
         (start_epoch, train_cfg.freeze_epochs, train_cfg.lr_freeze, True),
@@ -399,6 +409,12 @@ def fit(
     rng = jax.random.PRNGKey(train_cfg.seed)
     for first, last, lr, freeze in phase_bounds:
         if first >= last:
+            if just_resumed and freeze == resume_phase_freeze:
+                # The checkpoint belongs to this phase and the phase is
+                # already complete (boundary resume): the NEXT phase
+                # must build its optimizer FRESH (reference :564,596),
+                # not inherit this phase's restored one.
+                just_resumed = False
             continue
         if state is None:
             state = create_train_state(

@@ -168,6 +168,52 @@ def test_fit_auto_resume(tmp_path, wider_tree, tiny_cfg):  # noqa: F811
     assert abs(float(row[6]) - expect) / expect < 1e-6
 
 
+def test_fit_resume_at_phase_boundary(tmp_path, wider_tree, tiny_cfg):  # noqa: F811
+    """Auto-resume from the checkpoint saved exactly AT the
+    freeze->unfreeze boundary (step == freeze_epochs). That checkpoint
+    was written BY the last freeze epoch, so its opt_state is the
+    freeze phase's multi_transform tree: the restore template must be
+    built frozen (a `resumed_epoch < freeze_epochs` test mislabeled it
+    and the restore died on the tree-structure mismatch), and the
+    unfreeze phase must then start from a FRESH optimizer (reference
+    train_mobilenetV3_ecagai.py:564,596), not inherit the frozen one."""
+    import optax
+
+    from jabd_tpu.data import WiderFaceDataset
+    from jabd_tpu.utils.checkpoint import CheckpointManager
+
+    ds = WiderFaceDataset(wider_tree, input_size=SIZE)
+    tcfg = configs.TrainConfig(
+        batch_size=2, image_size=SIZE, freeze_epochs=1, total_epochs=1,
+        max_targets=8, save_period=1,
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    train.fit(tiny_cfg, tcfg, ds, log_dir=str(tmp_path / "logs"),
+              checkpoint_manager=mgr)
+    assert mgr.latest_step() == 1  # saved by the last FREEZE epoch
+
+    tcfg2 = dataclasses.replace(tcfg, total_epochs=2)
+    state = train.fit(tiny_cfg, tcfg2, ds, log_dir=str(tmp_path / "logs2"),
+                      checkpoint_manager=mgr)
+    assert mgr.latest_step() == 2
+    # The unfreeze phase ran on a FRESH plain (non-multi_transform)
+    # optimizer: its Adam moments exist for backbone leaves too, and
+    # the schedule count restarted at 0 for the phase (one epoch of
+    # steps afterwards).
+    steps_per_epoch = max(len(ds) // tcfg2.batch_size, 1)
+    assert train._schedule_count(state.opt_state) == steps_per_epoch
+    assert not isinstance(
+        state.opt_state, optax.MultiTransformState
+    ), type(state.opt_state)
+    # epoch 2's logged lr is the unfreeze phase's FRESH schedule at
+    # count 0 (gamma^0), not a continuation of the freeze schedule
+    lines = (tmp_path / "logs2" / "metrics.csv").read_text().splitlines()
+    row = lines[1].split(",")
+    assert int(row[0]) == 2
+    expect = tcfg2.lr_unfreeze
+    assert abs(float(row[6]) - expect) / expect < 1e-6
+
+
 def test_fit_device_augment_epoch(tmp_path, wider_tree, tiny_cfg):  # noqa: F811
     """fit() with TrainConfig.device_augment: device loader -> plan
     batches -> prefetch -> jitted augment+train steps."""
