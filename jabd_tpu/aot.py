@@ -188,13 +188,7 @@ class AotDetector:
         from jabd_tpu.predict import undo_letterbox_pixels
 
         th, tw = self.input_shape
-        if self.letterbox:
-            x = I.letterbox_np(image, (tw, th))
-        else:
-            import cv2
-
-            x = cv2.resize(image, (tw, th)).astype(np.float32)
-        x = I.preprocess_input_np(x.astype(np.float32))[None]
+        x = I.serving_front_end(image, (tw, th), self.letterbox)[None]
         if self.batch_size > 1:
             x = np.concatenate(
                 [x, np.zeros((self.batch_size - 1, *x.shape[1:]), x.dtype)]
@@ -287,7 +281,11 @@ def load_exported(out_dir: str, mesh=None):
     with open(os.path.join(out_dir, _GRAPH), "rb") as f:
         exported = jax.export.deserialize(f.read())
     backend = jax.default_backend()
-    if backend not in exported.platforms:
+    # jax.default_backend() says 'gpu' where jax.export platforms say
+    # 'cuda'/'rocm' — normalize so a matching GPU artifact isn't
+    # spuriously rejected (latent here: this repo emits tpu/cpu).
+    aliases = {backend} | ({"cuda", "rocm"} if backend == "gpu" else set())
+    if not aliases & set(exported.platforms):
         raise ValueError(
             f"artifact was exported for {exported.platforms}, but the "
             f"current backend is {backend!r}"

@@ -33,6 +33,26 @@ def preprocess_input_np(image: np.ndarray) -> np.ndarray:
     return image - np.asarray(MEANS, dtype=np.float32)
 
 
+def serving_front_end(
+    image: np.ndarray, size_wh: Tuple[int, int], letterbox: bool = True
+) -> np.ndarray:
+    """THE serving preprocessing: letterbox (or plain resize) in the
+    image's ORIGINAL dtype, THEN float + mean subtraction. cv2 resize of
+    uint8 rounds, and the reference converts to float only after the
+    resize (predict.py:144 -> utils/utils.py:15), so byte-parity
+    requires this exact order. One definition shared by
+    Predictor.detect_image, the AOT detector, and the serving daemon —
+    three hand-synced copies of this block had to agree byte-for-byte
+    before this helper existed."""
+    if letterbox:
+        x = letterbox_np(image, size_wh)
+    else:
+        import cv2
+
+        x = cv2.resize(image, size_wh).astype(np.float32)
+    return preprocess_input_np(x.astype(np.float32))
+
+
 def letterbox_np(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     """Host letterbox, byte-compatible with utils/utils.py:8-19.
 

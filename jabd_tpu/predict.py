@@ -504,17 +504,9 @@ class Predictor:
         (x1 y1 x2 y2 score lmk...), like get_map_txt (predict.py:338-415)."""
         ih, iw = image.shape[:2]
         th, tw = self.pcfg.input_shape
-        # Letterbox the image in its ORIGINAL dtype: cv2 resize of uint8
-        # rounds, and the reference resizes before float conversion
-        # (predict.py:144 -> utils/utils.py:15) — byte-parity requires the
-        # same order.
-        if self.pcfg.letterbox:
-            x = I.letterbox_np(image, (tw, th))
-        else:
-            import cv2
-
-            x = cv2.resize(image, (tw, th)).astype(np.float32)
-        x = I.preprocess_input_np(x.astype(np.float32))[None]
+        x = I.serving_front_end(
+            image, (tw, th), self.pcfg.letterbox
+        )[None]
         dets, valid = self.detect_preprocessed(x)
         dets = np.asarray(dets[0])[np.asarray(valid[0])]
         return undo_letterbox_pixels(

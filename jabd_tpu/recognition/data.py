@@ -29,12 +29,16 @@ class FaceAugmentDraw(NamedTuple):
     crop:   (i, ch, j, cw) zeroed-border rect kept in place, or None
     lowres: (small_side, interp_down, interp_up) cv2 ids, or None
     photo:  (brightness, contrast, saturation) in [0.5, 1.5], or None
+    photo_order: the ColorJitter op order (permutation of 0=brightness,
+            1=contrast, 2=saturation — torchvision randomly permutes,
+            reference data.py:248-258 applies in fn_idx order)
     score:  crop_ratio * resize_ratio (AdaFace's quality proxy)
     """
 
     crop: Optional[Tuple[int, int, int, int]]
     lowres: Optional[Tuple[int, int, int]]
     photo: Optional[Tuple[float, float, float]]
+    photo_order: Tuple[int, int, int]
     score: float
 
 
@@ -76,14 +80,21 @@ def draw_face_augment_params(
         lowres = (small_side, int(down), int(up))
         resize_ratio = side_ratio
     photo = None
+    photo_order = (0, 1, 2)
     if rng.random() < photometric_prob:
+        # ColorJitter.get_params order: the op permutation first, then
+        # the factors (torchvision draws randperm(4) incl. the unused
+        # hue slot; restricted to b/c/s it is a uniform 3-permutation).
+        photo_order = tuple(int(i) for i in rng.permutation(3))
         # brightness/contrast/saturation jitter in [0.5, 1.5] (ColorJitter).
         photo = (
             float(rng.uniform(0.5, 1.5)),
             float(rng.uniform(0.5, 1.5)),
             float(rng.uniform(0.5, 1.5)),
         )
-    return FaceAugmentDraw(crop, lowres, photo, resize_ratio * crop_ratio)
+    return FaceAugmentDraw(
+        crop, lowres, photo, photo_order, resize_ratio * crop_ratio
+    )
 
 
 def low_res_augmentation(img: np.ndarray, rng: np.random.Generator):
@@ -109,7 +120,7 @@ def apply_face_augment(
     img: np.ndarray, draw: FaceAugmentDraw
 ) -> np.ndarray:
     """Apply a drawn augmentation with the reference's host ops
-    (cv2 uint8 resizes, float photometric, uint8 truncating cast)."""
+    (cv2 uint8 resizes; PIL-exact ColorJitter via color_jitter_pil)."""
     import cv2
 
     if draw.crop is not None:
@@ -126,15 +137,59 @@ def apply_face_augment(
             small, (img.shape[1], img.shape[0]), interpolation=up
         )
     if draw.photo is not None:
-        b, c, s = draw.photo
-        img = img.astype(np.float32)
-        img = img * b
-        mean = img.mean()
-        img = (img - mean) * c + mean
-        gray = img.mean(axis=2, keepdims=True)
-        img = (img - gray) * s + gray
-        img = np.clip(img, 0, 255)
+        img = color_jitter_pil(
+            img.astype(np.uint8), draw.photo, draw.photo_order
+        )
     return img.astype(np.uint8)
+
+
+def _pil_gray(img_u8: np.ndarray) -> np.ndarray:
+    """PIL Image.convert("L"), byte-exact: the ITU-R 601 luma with
+    PIL's fixed-point rounding ((r*19595 + g*38470 + b*7471 + 0x8000)
+    >> 16; the three weights sum to exactly 65536)."""
+    r = img_u8[..., 0].astype(np.uint32)
+    g = img_u8[..., 1].astype(np.uint32)
+    b = img_u8[..., 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+        np.uint8
+    )
+
+
+def _pil_blend(degenerate: np.ndarray, img: np.ndarray, factor: float):
+    """PIL ImageEnhance blend, byte-exact: float interpolation toward
+    the degenerate image, TRUNCATED to uint8 (the C cast — verified
+    against ImageEnhance for factors on both sides of 1)."""
+    out = degenerate.astype(np.float64) + factor * (
+        img.astype(np.float64) - degenerate.astype(np.float64)
+    )
+    return np.clip(np.trunc(out), 0, 255).astype(np.uint8)
+
+
+def color_jitter_pil(
+    img_u8: np.ndarray,
+    factors: Tuple[float, float, float],
+    order: Tuple[int, int, int] = (0, 1, 2),
+) -> np.ndarray:
+    """torchvision ColorJitter(brightness, contrast, saturation) applied
+    in `order`, byte-exact to the PIL path the reference takes
+    (data.py:248-258 loops F.adjust_* over ColorJitter.get_params'
+    fn_idx): brightness = blend toward black; contrast = blend toward
+    the solid gray of the L-image's rounded mean; saturation = blend
+    toward the per-pixel L image — each op materializing uint8, luma
+    weights 0.299/0.587/0.114 (RGB input), NOT an unweighted channel
+    mean. Oracle-pinned in tests/test_recognition.py against
+    PIL.ImageEnhance itself."""
+    b, c, s = factors
+    for op in order:
+        if op == 0:
+            img_u8 = _pil_blend(np.zeros_like(img_u8), img_u8, b)
+        elif op == 1:
+            mean = int(_pil_gray(img_u8).mean() + 0.5)
+            img_u8 = _pil_blend(np.full_like(img_u8, mean), img_u8, c)
+        else:
+            gray3 = np.repeat(_pil_gray(img_u8)[..., None], 3, axis=2)
+            img_u8 = _pil_blend(gray3, img_u8, s)
+    return img_u8
 
 
 def augment_face(

@@ -46,6 +46,7 @@ class FaceAugmentPlan(NamedTuple):
     keep_v:   [B, S] 1.0 on rows kept by the crop (all-ones: no crop)
     keep_h:   [B, S] columns kept by the crop
     photo:    [B, 3] (brightness, contrast, saturation); (1,1,1) = off
+    photo_order: [B, 3] int32 ColorJitter op order (0=b, 1=c, 2=s)
     """
 
     mv: np.ndarray
@@ -53,6 +54,7 @@ class FaceAugmentPlan(NamedTuple):
     keep_v: np.ndarray
     keep_h: np.ndarray
     photo: np.ndarray
+    photo_order: np.ndarray
 
 
 @functools.lru_cache(maxsize=1024)
@@ -100,7 +102,8 @@ def plan_face_sample(
         keep_h = np.zeros(size, np.float32)
         keep_h[j : j + cw] = 1.0
     photo = np.asarray(draw.photo or (1.0, 1.0, 1.0), np.float32)
-    return mv, mh, keep_v, keep_h, photo
+    order = np.asarray(draw.photo_order, np.int32)
+    return mv, mh, keep_v, keep_h, photo, order
 
 
 def stack_face_plans(
@@ -109,7 +112,7 @@ def stack_face_plans(
     """Stack per-sample plan tuples into one FaceAugmentPlan batch.
     Production ships bf16 matrices (the device resamples in bf16
     anyway); parity tests keep float32."""
-    mv, mh, kv, kh, photo = zip(*parts)
+    mv, mh, kv, kh, photo, order = zip(*parts)
     mdt = matrix_dtype or np.float32
     return FaceAugmentPlan(
         mv=np.ascontiguousarray(np.stack(mv)).astype(mdt),
@@ -117,6 +120,7 @@ def stack_face_plans(
         keep_v=np.stack(kv),
         keep_h=np.stack(kh),
         photo=np.stack(photo),
+        photo_order=np.stack(order),
     )
 
 
@@ -152,15 +156,42 @@ def device_augment_faces(
     # integer values so rounding is a no-op for non-low-res samples.
     y = jnp.clip(jnp.round(y.astype(jnp.float32)), 0.0, 255.0)
 
+    # ColorJitter with PIL ImageEnhance semantics (data.color_jitter_pil
+    # is the host/oracle twin): per-sample op ORDER, ITU-R 601 luma gray
+    # (the fixed-point weights sum to 65536, so every product stays an
+    # exact-in-f32 integer < 2^24), blends TRUNCATED to uint8 between
+    # ops. Off samples carry (1,1,1) factors: blend with factor 1 is
+    # the identity on integer-valued pixels.
     b = plan.photo[:, 0][:, None, None, None]
     c = plan.photo[:, 1][:, None, None, None]
     s = plan.photo[:, 2][:, None, None, None]
-    y = y * b
-    mean = jnp.mean(y, axis=(1, 2, 3), keepdims=True)
-    y = (y - mean) * c + mean
-    gray = jnp.mean(y, axis=-1, keepdims=True)
-    y = (y - gray) * s + gray
-    # The host ends with np.clip + a TRUNCATING astype(np.uint8).
+
+    def _gray(yv):
+        return jnp.floor(
+            (
+                yv[..., 0:1] * 19595.0
+                + yv[..., 1:2] * 38470.0
+                + yv[..., 2:3] * 7471.0
+                + 32768.0
+            )
+            / 65536.0
+        )
+
+    def _blend(degen, yv, f):
+        return jnp.clip(jnp.trunc(degen + f * (yv - degen)), 0.0, 255.0)
+
+    for k in range(3):
+        op = plan.photo_order[:, k][:, None, None, None]
+        g = _gray(y)
+        y_b = _blend(jnp.zeros_like(y), y, b)
+        gmean = jnp.floor(
+            jnp.mean(g, axis=(1, 2, 3), keepdims=True) + 0.5
+        )
+        y_c = _blend(gmean, y, c)
+        y_s = _blend(g, y, s)
+        y = jnp.where(op == 0, y_b, jnp.where(op == 1, y_c, y_s))
+    # The host ends with np.clip + a TRUNCATING astype(np.uint8) —
+    # already integer-valued here; floor+clip kept for the no-photo path.
     y = jnp.floor(jnp.clip(y, 0.0, 255.0))
     return (y / 255.0 - 0.5) / 0.5
 

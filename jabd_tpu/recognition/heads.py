@@ -73,9 +73,24 @@ class AdaFaceHead(nn.Module):
             self, self.embedding_size, self.classnum, embeddings.dtype,
             self.pad_to,
         )
-        cosine = jnp.clip(embeddings @ kernel, -1 + self.eps, 1 - self.eps)
+        # precision=HIGHEST: TPU default matmul precision is bf16 even
+        # for f32 inputs (CLAUDE.md); ~3e-3 cosine error becomes +-0.2
+        # noise on s=64-scaled logits feeding arccos — this matmul is
+        # the accuracy-critical one the f32 policy exists for.
+        cosine = jnp.clip(
+            jnp.matmul(
+                embeddings, kernel, precision=jax.lax.Precision.HIGHEST
+            ),
+            -1 + self.eps,
+            1 - self.eps,
+        )
 
-        safe_norms = jnp.clip(norms, 0.001, 100.0)
+        # stop_gradient mirrors the reference's safe_norms.clone()
+        # .detach() (official AdaFace): the margin scaler is a QUALITY
+        # OBSERVATION, not a gradient path — without the detach the
+        # model can shrink/grow feature norms to manipulate its own
+        # margin, a dynamic the paper explicitly removes.
+        safe_norms = jax.lax.stop_gradient(jnp.clip(norms, 0.001, 100.0))
         batch_mean = self.variable(
             "batch_stats", "batch_mean", lambda: jnp.asarray(20.0)
         )
@@ -84,7 +99,7 @@ class AdaFaceHead(nn.Module):
         )
         if train:
             mean = jnp.mean(safe_norms)
-            std = jnp.std(safe_norms)
+            std = jnp.std(safe_norms, ddof=1)  # torch.std is unbiased
             batch_mean.value = (
                 self.t_alpha * mean + (1 - self.t_alpha) * batch_mean.value
             )
@@ -136,7 +151,17 @@ class ArcFaceHead(nn.Module):
             self, self.embedding_size, self.classnum, embeddings.dtype,
             self.pad_to,
         )
-        cosine = jnp.clip(embeddings @ kernel, -1 + self.eps, 1 - self.eps)
+        # precision=HIGHEST: TPU default matmul precision is bf16 even
+        # for f32 inputs (CLAUDE.md); ~3e-3 cosine error becomes +-0.2
+        # noise on s=64-scaled logits feeding arccos — this matmul is
+        # the accuracy-critical one the f32 policy exists for.
+        cosine = jnp.clip(
+            jnp.matmul(
+                embeddings, kernel, precision=jax.lax.Precision.HIGHEST
+            ),
+            -1 + self.eps,
+            1 - self.eps,
+        )
         onehot = jax.nn.one_hot(
             labels, cosine.shape[-1], dtype=cosine.dtype
         )
@@ -165,7 +190,17 @@ class CosFaceHead(nn.Module):
             self, self.embedding_size, self.classnum, embeddings.dtype,
             self.pad_to,
         )
-        cosine = jnp.clip(embeddings @ kernel, -1 + self.eps, 1 - self.eps)
+        # precision=HIGHEST: TPU default matmul precision is bf16 even
+        # for f32 inputs (CLAUDE.md); ~3e-3 cosine error becomes +-0.2
+        # noise on s=64-scaled logits feeding arccos — this matmul is
+        # the accuracy-critical one the f32 policy exists for.
+        cosine = jnp.clip(
+            jnp.matmul(
+                embeddings, kernel, precision=jax.lax.Precision.HIGHEST
+            ),
+            -1 + self.eps,
+            1 - self.eps,
+        )
         onehot = jax.nn.one_hot(
             labels, cosine.shape[-1], dtype=cosine.dtype
         )

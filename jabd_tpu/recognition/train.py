@@ -17,7 +17,7 @@ head.py) — with the same recipe on the TPU stack:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,9 +73,20 @@ def create_state(
     head,
     num_train_steps_hint: int,
     lr: float = 0.1,
-    milestones: Sequence[int] = (12, 20, 24),
+    milestones: Optional[Sequence[int]] = None,
     image_size: int = 112,
 ) -> RecTrainState:
+    """`milestones` are optimizer-STEP boundaries (what
+    optax.piecewise_constant_schedule consumes) — the CLI converts its
+    epoch milestones by multiplying with steps_per_epoch. When omitted
+    they default to the AdaFace recipe's epoch milestones 12/20/24 of a
+    26-epoch run, SCALED to `num_train_steps_hint` — the old default of
+    literal (12, 20, 24) silently decayed lr 1000x within the first
+    minute of epoch 1 for any caller using the defaults."""
+    if milestones is None:
+        milestones = tuple(
+            max(1, int(num_train_steps_hint * e / 26)) for e in (12, 20, 24)
+        )
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     mv = jax.jit(functools.partial(model.init, train=False))(rng, dummy)
     demb = jnp.zeros((1, 512), jnp.float32)
@@ -521,6 +532,14 @@ def validate_5sets(
         )
         out[name] = res
         accs.append(res["val_acc"])
+    if not accs:
+        # A mistyped/empty val dir would otherwise yield val_acc = NaN:
+        # NaN > best is always False, so no best checkpoint is ever
+        # written and the typo surfaces only after the full run.
+        raise FileNotFoundError(
+            f"no validation sets found under {data_dir!r} "
+            "(expected agedb_30/cfp_fp/lfw/cplfw/calfw memfiles or bins)"
+        )
     out["mean"] = {"val_acc": float(np.mean(accs))}
     return out
 

@@ -94,7 +94,6 @@ class BatchingDetector:
         self._stats_lock = threading.Lock()
         self.n_requests = 0
         self.n_batches = 0
-        self.n_batched_images = 0
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -123,7 +122,7 @@ class BatchingDetector:
                 "batches": self.n_batches,
                 "batch_size": self.batch_size,
                 "occupancy": (
-                    self.n_batched_images / (self.n_batches or 1)
+                    self.n_requests / (self.n_batches or 1)
                 ),
                 "input_shape": list(self.input_shape),
             }
@@ -162,15 +161,11 @@ class BatchingDetector:
                     (self.batch_size, th, tw, 3), np.float32
                 )
                 for i, (img, _) in enumerate(items):
-                    # The exact detect_image front-end (predict.py:144
-                    # order: letterbox in source dtype, then float).
-                    if self.letterbox:
-                        x = I.letterbox_np(img, (tw, th))
-                    else:
-                        import cv2
-
-                        x = cv2.resize(img, (tw, th)).astype(np.float32)
-                    batch[i] = I.preprocess_input_np(x.astype(np.float32))
+                    # The exact detect_image front-end (one shared
+                    # definition: ops/image.serving_front_end).
+                    batch[i] = I.serving_front_end(
+                        img, (tw, th), self.letterbox
+                    )
                 dets_b, valid_b = self.backend.detect_preprocessed(batch)
                 dets_b = np.asarray(dets_b)
                 valid_b = np.asarray(valid_b)
@@ -188,7 +183,6 @@ class BatchingDetector:
             with self._stats_lock:
                 self.n_requests += len(items)
                 self.n_batches += 1
-                self.n_batched_images += len(items)
 
 
 # ---------------------------------------------------------------------------

@@ -216,3 +216,30 @@ def test_loader_matches_host_loader_augmentations():
                 )
             )
             assert np.abs(got - h_img).mean() < 3.0 * (2 / 255)
+
+
+def test_color_jitter_matches_pil_imageenhance():
+    """The host photometric (data.color_jitter_pil — the reference's
+    ColorJitter via PIL F.adjust_*, data.py:248-258) must be BYTE-EXACT
+    to PIL's own ImageEnhance chain for every op order and factors on
+    both sides of 1 (PIL truncates blends; gray is ITU-R 601 luma, NOT
+    an unweighted channel mean; contrast anchors on the L-image's
+    rounded mean)."""
+    import itertools
+
+    from PIL import Image, ImageEnhance
+
+    rng = np.random.default_rng(11)
+    img = _rand_face(rng)
+    for order in itertools.permutations((0, 1, 2)):
+        f = tuple(float(x) for x in rng.uniform(0.5, 1.5, 3))
+        want = Image.fromarray(img, "RGB")
+        for op in order:
+            if op == 0:
+                want = ImageEnhance.Brightness(want).enhance(f[0])
+            elif op == 1:
+                want = ImageEnhance.Contrast(want).enhance(f[1])
+            else:
+                want = ImageEnhance.Color(want).enhance(f[2])
+        got = D.color_jitter_pil(img, f, order)
+        np.testing.assert_array_equal(got, np.asarray(want)), order
