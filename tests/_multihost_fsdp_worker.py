@@ -107,7 +107,21 @@ def main():
     assert local * num_procs == big.size, (local, big.size)
 
     step = train.make_train_step(mcfg, tcfg, mesh=mesh)
-    state, metrics = step(state, images_d, targets_d, anchors_d)
+    # Compile FIRST, then align both processes at a coordination-service
+    # barrier (minutes of timeout) before the first EXECUTION: the gloo
+    # CPU-collective context does its key-value rendezvous with a hard
+    # 30 s deadline at first use, and a loaded 1-core host can skew two
+    # fresh processes' compile+startup by more than that (observed:
+    # DEADLINE_EXCEEDED on GetKeyValue when the full suite ran this
+    # test; standalone it passed). Compiling before the barrier leaves
+    # only milliseconds of skew at gloo init.
+    compiled = step.lower(state, images_d, targets_d, anchors_d).compile()
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier(
+        "fsdp2x4_compiled", timeout_in_ms=600_000
+    )
+    state, metrics = compiled(state, images_d, targets_d, anchors_d)
     loss = float(np.asarray(metrics["loss"].addressable_data(0)))
     # sharding survives the donated update (params AND Adam moments)
     F.assert_sharded(state.params, mesh)
