@@ -179,17 +179,14 @@ def cmd_export(args):
                 "(a few representative images to calibrate activation "
                 "scales)"
             )
-        exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
-        paths = [
-            os.path.join(args.calib_images, n)
-            for n in sorted(os.listdir(args.calib_images))
-            if n.lower().endswith(exts)
-        ][:16]
+        paths = _list_images(args.calib_images, limit=16)
         if not paths:
             sys.exit(f"no images in {args.calib_images!r}")
-        imgs = [cv2.imread(p) for p in paths]
+        imgs = [i for i in (cv2.imread(p) for p in paths) if i is not None]
+        if not imgs:
+            sys.exit(f"no readable images in {args.calib_images!r}")
         n = pred.quantize_int8(
-            [i for i in imgs if i is not None],
+            imgs,
             search_clip=args.quantize_search,
         )
         print(f"[int8] quantized {n} conv sites", file=sys.stderr)
@@ -225,6 +222,32 @@ def cmd_export_pth(args):
     print(json.dumps({"out": args.out, "keys": len(sd)}))
 
 
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def _list_images(directory, limit=None):
+    """Sorted image paths under `directory` (one extension set for
+    export/dir-predict/map-txt/calibration — three hand-rolled copies
+    of this scan had already drifted on .jpeg)."""
+    paths = [
+        os.path.join(directory, n)
+        for n in sorted(os.listdir(directory))
+        if n.lower().endswith(IMAGE_EXTS)
+    ]
+    return paths[:limit] if limit else paths
+
+
+def _maybe_quantize(pred, samples, args):
+    """Apply --quantize int8 to a live predictor, calibrating on
+    `samples` ([N, H, W, 3] images). No-op unless requested."""
+    if getattr(args, "quantize", "none") != "int8":
+        return
+    n = pred.quantize_int8(
+        samples, search_clip=getattr(args, "quantize_search", False)
+    )
+    print(f"[int8] quantized {n} conv sites", file=sys.stderr)
+
+
 def cmd_serve(args):
     """Serving daemon: dynamic batching over the fused graph behind a
     stdlib HTTP endpoint (jabd_tpu/serve.py). POST /detect with image
@@ -233,6 +256,15 @@ def cmd_serve(args):
     (--exported)."""
     from jabd_tpu.serve import BatchingDetector, serve
 
+    if getattr(args, "quantize", "none") == "int8" :
+        # No calibration inputs exist at daemon startup; silently
+        # serving the float graph under an int8 flag is worse than
+        # refusing. The int8 serving path is an exported artifact.
+        sys.exit(
+            "--quantize int8 is not wired for `serve`: export an int8 "
+            "artifact first (cli export --quantize int8 --calib-images "
+            "dir/) and start `serve --exported <dir>`"
+        )
     if args.exported:
         from jabd_tpu.aot import load_exported
 
@@ -319,12 +351,7 @@ def cmd_dir_predict(args):
 
     pred = _load_predictor(args)
     os.makedirs(args.out, exist_ok=True)
-    exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
-    names = [
-        n
-        for n in sorted(os.listdir(args.input_dir))
-        if n.lower().endswith(exts)
-    ]
+    names = [os.path.basename(p) for p in _list_images(args.input_dir)]
 
     bs = max(args.batch_size, 1)
 
@@ -382,6 +409,12 @@ def cmd_dir_predict(args):
 
 
 def cmd_identify(args):
+    if getattr(args, "quantize", "none") == "int8":
+        sys.exit(
+            "--quantize int8 is not wired for `identify` (the detection "
+            "predictor stays bf16 here); use --embed-quantize for the "
+            "embedder or run detection via predict/dir-predict"
+        )
     """Detect -> align -> embed -> match against a named gallery (the
     two reference halves joined; jabd_tpu/pipeline.py)."""
     import argparse as _ap
@@ -455,10 +488,13 @@ def cmd_video(args):
     cap = cv2.VideoCapture(src)
     writer = None
     fps = 0.0
+    n_frames = 0
     while True:
         ok, frame = cap.read()
         if not ok:
             break
+        if n_frames == 0:
+            _maybe_quantize(pred, frame[None], args)
         t0 = time.time()
         dets = pred.detect_image(frame)
         fps = 0.9 * fps + 0.1 / max(time.time() - t0, 1e-6)
@@ -474,9 +510,20 @@ def cmd_video(args):
                     (frame.shape[1], frame.shape[0]),
                 )
             writer.write(frame)
+        else:
+            # Headless environment: no --out means no sink (the
+            # reference shows a cv2 window, predict.py:478-520) — print
+            # a throttled per-frame line so the run is observable.
+            if n_frames % 25 == 0:
+                print(
+                    f"frame {n_frames}: {len(dets)} faces, fps {fps:.1f}",
+                    flush=True,
+                )
+        n_frames += 1
     cap.release()
     if writer:
         writer.release()
+    print(f"processed {n_frames} frames")
 
 
 def cmd_fps(args):
@@ -484,6 +531,7 @@ def cmd_fps(args):
 
     pred = _load_predictor(args)
     img = _imread(args.image)
+    _maybe_quantize(pred, img[None], args)
     fps = pred.get_fps(img, test_interval=args.iters, method=args.method)
     print(
         json.dumps(
@@ -635,6 +683,9 @@ def cmd_map_txt(args):
             if not name.lower().endswith((".jpg", ".png")):
                 continue
             img = cv2.imread(os.path.join(event_dir, name))
+            if img is None:
+                print("skipping unreadable", name, file=sys.stderr)
+                continue
             rows = pred.get_map_txt_rows(img)
             stem = os.path.splitext(name)[0]
             with open(os.path.join(out_event, stem + ".txt"), "w") as f:

@@ -112,9 +112,7 @@ def fold_batchnorm(variables, cast: Optional[Any] = None):
     # Normalize FrozenDict (or any Mapping) trees to plain dicts first:
     # _walk's isinstance(v, dict) checks would otherwise pass FrozenDict
     # subtrees through UNFOLDED silently.
-    variables = jax.tree_util.tree_map(
-        lambda x: x, {k: _to_dict(v) for k, v in dict(variables).items()}
-    )
+    variables = {k: _to_dict(v) for k, v in dict(variables).items()}
     params = dict(variables["params"])
     stats = dict(variables.get("batch_stats", {}))
     folded = _walk(params, stats)

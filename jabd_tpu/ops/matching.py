@@ -50,9 +50,6 @@ def match_single(
     valid: jnp.ndarray,  # [G] bool: GT row is real, not padding
 ) -> MatchResult:
     """Match one image's (padded) ground truths to all priors."""
-    num_gt = truths.shape[0]
-    num_priors = priors.shape[0]
-
     # Component-wise IoU (same math as boxes.jaccard on point_form(priors))
     # written so XLA fuses the whole [G, P] computation into one pass —
     # the stacked [..., 2] formulation materializes gigabyte-scale
